@@ -1,0 +1,95 @@
+"""ConvNeXt trunk (used by ParamNet) — flax, channels-last.
+
+Architecture contract (reference: modeling/backbone/convnext.py:16-152):
+stem 4x4/s4 conv + LN; three LN + 2x2/s2 downsample layers; stages of blocks
+(7x7 depthwise conv -> LN -> 1x1 expand 4x -> GELU -> 1x1 project -> layer
+scale gamma -> residual); final LN over globally average-pooled features; an
+optional linear head.
+
+In NHWC the reference's "channels_first vs channels_last LayerNorm" split
+(convnext.py:155-182) disappears — every LN is a plain last-axis LN.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    layer_scale_init: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(7, 7),
+            padding=3,
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        gamma = self.param(
+            "gamma",
+            nn.initializers.constant(self.layer_scale_init),
+            (self.dim,),
+            jnp.float32,
+        )
+        x = x * gamma.astype(x.dtype)
+        return inp + x
+
+
+class ConvNeXt(nn.Module):
+    """ConvNeXt-tiny by default (depths 3/3/9/3, dims 96/192/384/768), the
+    configuration ParamNet instantiates (reference: param_network.py:43,180).
+
+    num_classes == 0 returns pooled features (reference: convnext.py:124-127).
+    """
+
+    num_classes: int = 1000
+    depths: Tuple[int, ...] = (3, 3, 9, 3)
+    dims: Tuple[int, ...] = (96, 192, 384, 768)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(4):
+            if i == 0:
+                x = nn.Conv(
+                    self.dims[0],
+                    kernel_size=(4, 4),
+                    strides=(4, 4),
+                    padding="VALID",
+                    dtype=self.dtype,
+                    name="stem_conv",
+                )(x)
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
+            else:
+                x = nn.LayerNorm(
+                    epsilon=1e-6, dtype=self.dtype, name=f"downsample{i}_norm"
+                )(x)
+                x = nn.Conv(
+                    self.dims[i],
+                    kernel_size=(2, 2),
+                    strides=(2, 2),
+                    padding="VALID",
+                    dtype=self.dtype,
+                    name=f"downsample{i}_conv",
+                )(x)
+            for j in range(self.depths[i]):
+                x = ConvNeXtBlock(self.dims[i], dtype=self.dtype, name=f"stage{i}_{j}")(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool (N, C)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        if self.num_classes != 0:
+            x = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
+        return x

@@ -1,0 +1,159 @@
+"""Dense decode heads: SegFormer-MLP decoder pyramid + low-level encoder.
+
+Architecture contract (reference: modeling/persformer_heads/decode_head.py,
+gravity_head.py:39-197, latitude_head.py:39-193 — the two heads share one
+topology differing only in output channels):
+
+  per-scale Dense embed -> 768  (MLP "linear_cX")
+  3x3 conv -> 256               ("linear_cX_proc")
+  top-down FeatureFusion chain, each step: (+ residual-conv-unit of lateral)
+      -> residual-conv-unit -> 2x bilinear upsample
+  concat stride-2 low-level features (64ch)
+  3x3 conv -> 64 (+ReLU), 2x upsample, 3x3 conv -> 32 (+ReLU), 1x1 -> out.
+
+All convs channels-last; the 2x upsamples use the exact resize-as-matmul op
+(align_corners=False parity with F.interpolate, decode_head.py:284-287).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.image import resize_bilinear
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm with stored statistics as parameters.
+
+    The reference's LowLevelEncoder uses nn.BatchNorm2d in eval mode
+    (reference: perspectivefields.py:70-83); at inference it is the affine map
+    y = (x - mean) / sqrt(var + eps) * gamma + beta, which XLA fuses into the
+    preceding conv.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (self.features,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (self.features,), jnp.float32)
+        inv = (scale / jnp.sqrt(var + self.eps)).astype(x.dtype)
+        return x * inv + (bias - mean * scale / jnp.sqrt(var + self.eps)).astype(x.dtype)
+
+
+class LowLevelEncoder(nn.Module):
+    """7x7/s2 conv (no bias) + frozen BN + ReLU -> 64ch stride-2 features.
+
+    Reference: perspectivefields.py:70-83."""
+
+    feat_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.feat_dim,
+            kernel_size=(7, 7),
+            strides=(2, 2),
+            padding=3,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        x = FrozenBatchNorm(self.feat_dim, name="bn1")(x)
+        return nn.relu(x)
+
+
+class ResidualConvUnit(nn.Module):
+    """relu -> conv3x3 -> relu -> conv3x3, residual.
+
+    Reference: decode_head.py:224-256."""
+
+    features: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(x)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2")(out)
+        return out + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """Top-down fusion + 2x bilinear upsample.
+
+    Reference: decode_head.py:259-288."""
+
+    features: int = 256
+    unit2only: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lateral=None):
+        out = x
+        if lateral is not None:
+            out = out + ResidualConvUnit(self.features, self.dtype, name="resConfUnit1")(
+                lateral
+            )
+        out = ResidualConvUnit(self.features, self.dtype, name="resConfUnit2")(out)
+        h, w = out.shape[-3], out.shape[-2]
+        return resize_bilinear(out, 2 * h, 2 * w, "torch_bilinear")
+
+
+class SegFormerDecoder(nn.Module):
+    """Shared decoder topology for the gravity and latitude heads.
+
+    out_channels: 2 (gravity regression) / 73 (gravity cls) / 1 (latitude
+    regression) / 180 (latitude cls). Reference: gravity_head.py:139-176,
+    latitude_head.py:138-175 (identical layer stacks).
+    """
+
+    out_channels: int
+    embed_dim: int = 768
+    fusion_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hl_features, ll_features):
+        c1, c2, c3, c4 = hl_features
+
+        def embed_proc(c, idx):
+            e = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"linear_c{idx}")(c)
+            return nn.Conv(
+                self.fusion_dim,
+                (3, 3),
+                padding=1,
+                dtype=self.dtype,
+                name=f"linear_c{idx}_proc",
+            )(e)
+
+        _c4 = embed_proc(c4, 4)
+        _c4 = FeatureFusionBlock(self.fusion_dim, True, self.dtype, name="fusion4")(_c4)
+        _c3 = embed_proc(c3, 3)
+        _c3 = FeatureFusionBlock(self.fusion_dim, False, self.dtype, name="fusion3")(
+            _c4, _c3
+        )
+        _c2 = embed_proc(c2, 2)
+        _c2 = FeatureFusionBlock(self.fusion_dim, False, self.dtype, name="fusion2")(
+            _c3, _c2
+        )
+        _c1 = embed_proc(c1, 1)
+        _c1 = FeatureFusionBlock(self.fusion_dim, False, self.dtype, name="fusion1")(
+            _c2, _c1
+        )
+
+        x = jnp.concatenate([_c1, ll_features], axis=-1)
+        x = nn.Conv(64, (3, 3), padding=1, dtype=self.dtype, name="conv_fuse_conv0")(x)
+        x = nn.relu(x)
+        h, w = x.shape[-3], x.shape[-2]
+        x = resize_bilinear(x, 2 * h, 2 * w, "torch_bilinear")
+        x = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="conv_fuse_conv1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="linear_pred")(x)
+        return x

@@ -1,0 +1,258 @@
+"""MiT (Mix Vision Transformer / SegFormer encoder) — TPU-native flax impl.
+
+Architecture contract from the reference
+(reference: perspective2d/modeling/backbone/mix_transformers.py:14-543):
+4 hierarchical stages, each = OverlapPatchEmbed (strided conv + LN) followed by
+transformer Blocks with (a) spatial-reduction attention — K/V computed from an
+sr x sr strided conv of the tokens (sr_ratios per stage) — and (b) Mix-FFN
+(fc1 -> 3x3 depthwise conv -> GELU -> fc2). Outputs 4 feature maps at strides
+4/8/16/32.
+
+TPU-first design decisions (not a translation):
+* channels-last (B, H, W, C) end to end — the native TPU conv layout; the
+  reference's NCHW<->(B,N,C) permute churn disappears, attention reshapes are
+  free metadata ops on the last two axes.
+* exact-erf GELU to match torch's nn.GELU for checkpoint parity.
+* attention computed head-batched with einsum; q @ k^T contractions sized so
+  XLA tiles them onto the MXU (stage-1: N=6400, KV=N/64=100). An optional
+  fused Pallas kernel for this path lives in kernels/sr_attention.py.
+* stochastic depth (drop_path) is train-only and folds to identity under
+  deterministic=True, so inference traces contain no RNG ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import BackboneConfig
+from ..kernels.sr_attention import sr_attention
+
+
+def mit_spec(name: str) -> BackboneConfig:
+    """Named MiT variants b0-b5 (SegFormer family). The reference ships only
+    mit_b3 (mix_transformers.py:511); the rest are provided as the natural
+    model family extension (same dims/head layout as the SegFormer paper).
+    """
+    table = {
+        "mitb0": ((32, 64, 160, 256), (2, 2, 2, 2)),
+        "mitb1": ((64, 128, 320, 512), (2, 2, 2, 2)),
+        "mitb2": ((64, 128, 320, 512), (3, 4, 6, 3)),
+        "mitb3": ((64, 128, 320, 512), (3, 4, 18, 3)),
+        "mitb4": ((64, 128, 320, 512), (3, 8, 27, 3)),
+        "mitb5": ((64, 128, 320, 512), (3, 6, 40, 3)),
+    }
+    if name not in table:
+        raise ValueError(f"unknown MiT variant: {name}")
+    dims, depths = table[name]
+    return BackboneConfig(name=name, dims=dims, depths=depths)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth. Identity when deterministic."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class MixFFN(nn.Module):
+    """fc1 -> 3x3 depthwise conv -> GELU -> fc2 on (B, H, W, C) maps.
+
+    Reference: mix_transformers.py:14-56 (Mlp) + :497-508 (DWConv)."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.Conv(
+            self.hidden_dim,
+            kernel_size=(3, 3),
+            padding=1,
+            feature_group_count=self.hidden_dim,
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class SRAttention(nn.Module):
+    """Efficient attention with spatial reduction of K/V.
+
+    Reference: mix_transformers.py:59-141. Q from all N=H*W tokens; K/V from
+    an (sr x sr)-strided conv + LayerNorm when sr_ratio > 1.
+    """
+
+    dim: int
+    num_heads: int
+    sr_ratio: int = 1
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
+        q = q.reshape(b, h * w, self.num_heads, head_dim)
+
+        if self.sr_ratio > 1:
+            kv_in = nn.Conv(
+                self.dim,
+                kernel_size=(self.sr_ratio, self.sr_ratio),
+                strides=(self.sr_ratio, self.sr_ratio),
+                padding="VALID",
+                dtype=self.dtype,
+                name="sr",
+            )(x)
+            kv_in = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(
+                kv_in
+            )
+            kv_in = kv_in.reshape(b, -1, c)
+        else:
+            kv_in = x.reshape(b, h * w, c)
+
+        kv = nn.Dense(
+            2 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="kv"
+        )(kv_in)
+        kv = kv.reshape(b, -1, 2, self.num_heads, head_dim)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+
+        if self.use_pallas:
+            out = sr_attention(q, k, v, scale)
+        else:
+            # (b, heads, N, M) logits; fp32 softmax accumulation.
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = out.reshape(b, h, w, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block: x + attn(LN(x)); x + ffn(LN(x)).
+
+    Reference: mix_transformers.py:144-202."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    mlp_ratio: int = 4
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        attn_out = SRAttention(
+            self.dim,
+            self.num_heads,
+            self.sr_ratio,
+            self.qkv_bias,
+            self.ln_eps,
+            self.dtype,
+            self.use_pallas,
+            name="attn",
+        )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x))
+        x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic)
+        ffn_out = MixFFN(
+            self.dim * self.mlp_ratio, self.dim, self.dtype, name="mlp"
+        )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x))
+        x = x + DropPath(self.drop_path, name="drop_path2")(ffn_out, deterministic)
+        return x
+
+
+class OverlapPatchEmbed(nn.Module):
+    """Strided overlapping conv + LayerNorm.
+
+    Reference: mix_transformers.py:205-249."""
+
+    dim: int
+    patch_size: int
+    stride: int
+    ln_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.stride, self.stride),
+            padding=self.patch_size // 2,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class MixViT(nn.Module):
+    """4-stage MiT encoder producing stride 4/8/16/32 feature maps (NHWC).
+
+    Reference: mix_transformers.py:252-494 (MixVisionTransformer).
+    """
+
+    spec: BackboneConfig = BackboneConfig()
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, ...]:
+        spec = self.spec
+        total_depth = sum(spec.depths)
+        # linear stochastic-depth decay (mix_transformers.py:306-308)
+        dpr = [
+            spec.drop_path_rate * i / max(total_depth - 1, 1)
+            for i in range(total_depth)
+        ]
+        outs = []
+        cur = 0
+        for s in range(4):
+            x = OverlapPatchEmbed(
+                dim=spec.dims[s],
+                patch_size=7 if s == 0 else 3,
+                stride=4 if s == 0 else 2,
+                ln_eps=spec.ln_eps,
+                dtype=self.dtype,
+                name=f"patch_embed{s + 1}",
+            )(x)
+            for i in range(spec.depths[s]):
+                x = Block(
+                    dim=spec.dims[s],
+                    num_heads=spec.num_heads[s],
+                    sr_ratio=spec.sr_ratios[s],
+                    mlp_ratio=spec.mlp_ratio,
+                    qkv_bias=spec.qkv_bias,
+                    ln_eps=spec.ln_eps,
+                    drop_path=dpr[cur + i],
+                    dtype=self.dtype,
+                    use_pallas=self.use_pallas,
+                    name=f"block{s + 1}_{i}",
+                )(x, deterministic)
+            x = nn.LayerNorm(epsilon=spec.ln_eps, dtype=self.dtype, name=f"norm{s + 1}")(x)
+            outs.append(x)
+        return tuple(outs)

@@ -1,0 +1,82 @@
+"""Top-level PersNet: backbone + low-level encoder + decode heads + ParamNet.
+
+One flax module whose __call__ is the entire jit-able device program for a
+normalized (B, 320, 320, 3) batch -> raw network-resolution predictions
+(+ global camera parameters). Mirrors the orchestration of the reference's
+PerspectiveFields.forward (reference: perspectivefields.py:223-272) minus the
+host-side per-image postprocess loop, which lives in ops/postprocess.py and is
+vmapped by the API layer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .heads import LowLevelEncoder, SegFormerDecoder
+from .mit import MixViT
+from .paramnet import ParamNetHead
+
+_EPS = 1e-12
+
+
+class PersNet(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, deterministic: bool = True
+    ) -> Dict[str, jnp.ndarray]:
+        """images: normalized NHWC batch at network resolution (320x320).
+
+        Returns dict with (channels-last):
+          pred_gravity: (B, 320, 320, 2|73) — unit vectors or bin logits
+          pred_latitude: (B, 320, 320, 1|180) — sin(lat) or bin logits
+          pred_roll/pitch/(general_)vfov/rel_cx/rel_cy/rel_focal: (B,) if the
+          version has a ParamNet.
+        """
+        cfg = self.cfg
+        hl = MixViT(cfg.backbone, self.dtype, self.use_pallas, name="backbone")(
+            images, deterministic
+        )
+        ll = LowLevelEncoder(dtype=self.dtype, name="ll_enc")(images)
+
+        out: Dict[str, jnp.ndarray] = {}
+        if cfg.gravity is not None:
+            g = SegFormerDecoder(
+                cfg.gravity.out_channels,
+                cfg.gravity.embed_dim,
+                cfg.gravity.fusion_dim,
+                self.dtype,
+                name="gravity_head",
+            )(hl, ll)
+            if cfg.gravity.loss_type == "regression":
+                # F.normalize over channels (gravity_head.py:180-181,192-193)
+                norm = jnp.maximum(
+                    jnp.linalg.norm(g, axis=-1, keepdims=True), _EPS
+                ).astype(g.dtype)
+                g = g / norm
+            out["pred_gravity"] = g
+        if cfg.latitude is not None:
+            lat = SegFormerDecoder(
+                cfg.latitude.out_channels,
+                cfg.latitude.embed_dim,
+                cfg.latitude.fusion_dim,
+                self.dtype,
+                name="latitude_head",
+            )(hl, ll)
+            if cfg.latitude.loss_type == "regression":
+                lat = jnp.clip(lat, -1.0, 1.0)  # latitude_head.py:191-192
+            out["pred_latitude"] = lat
+
+        if cfg.param_on:
+            param = ParamNetHead(
+                cfg.param, cfg.recover_pp, self.dtype, name="param_net"
+            )(out["pred_gravity"].astype(self.dtype), out["pred_latitude"].astype(self.dtype))
+            out.update(param)
+        return out

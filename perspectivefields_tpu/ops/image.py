@@ -1,0 +1,190 @@
+"""Image resampling as matrix multiplication — the TPU-native resize.
+
+Resizes in this framework are expressed as two small dense matmuls
+(H-weights @ image @ W-weights^T) with weight matrices precomputed on host for
+the static (in, out) shape pair. This keeps every resize on the MXU, makes the
+semantics exact by construction, and lets XLA fuse the resize into surrounding
+ops — replacing three different resampling stacks in the reference:
+
+* ``F.interpolate(mode='bilinear', align_corners=False)`` — used by the decode
+  heads' 2x upsampling (reference: persformer_heads/decode_head.py:284-287)
+  and by postprocess resize-back (utils.py:483-507).
+* PIL uint8 bilinear — the preprocessing resize to 320x320 (reference:
+  perspectivefields.py:38-46). ``pil_resize_uint8`` reproduces Pillow's
+  fixed-point path bit-exactly on host; ``make_resize_matrix('pil_bilinear')``
+  gives the float equivalent for on-device fast-path preprocessing.
+* ``F.interpolate(mode='nearest')`` — ParamNet's 320->64 field downsample
+  (reference: param_network/param_network.py:197).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+_PRECISION_BITS = 32 - 8 - 2  # Pillow's fixed-point precision for 8bpc
+
+
+def _torch_bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) weights matching F.interpolate(mode='bilinear',
+    align_corners=False, antialias=False)."""
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    if in_size == out_size:
+        np.fill_diagonal(m, 1.0)
+        return m
+    # torch computes the source index in float32 (opmath_t) — emulate exactly
+    # so the weights are bit-identical to torch's for f32 tensors.
+    scale = np.float32(in_size) / np.float32(out_size)
+    for i in range(out_size):
+        src = np.maximum(
+            scale * np.float32(i + 0.5) - np.float32(0.5), np.float32(0.0)
+        )
+        i0 = int(np.floor(src))
+        i1 = min(i0 + 1, in_size - 1)
+        w1 = float(src - np.float32(i0))
+        m[i, i0] += 1.0 - w1
+        m[i, i1] += w1
+    return m
+
+
+def _pil_coeffs(in_size: int, out_size: int):
+    """Pillow's precompute_coeffs for the triangle (bilinear) filter.
+
+    Returns (bounds, weights): per-output-pixel (xmin, count) and float
+    weights, matching Pillow's Resample.c precompute_coeffs.
+    """
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 1.0 * filterscale  # triangle filter support == 1
+    ksize = int(np.ceil(support)) * 2 + 1
+    bounds = np.zeros((out_size, 2), dtype=np.int64)
+    weights = np.zeros((out_size, ksize), dtype=np.float64)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = int(center - support + 0.5)
+        xmin = max(xmin, 0)
+        xmax = int(center + support + 0.5)
+        xmax = min(xmax, in_size)
+        n = xmax - xmin
+        ww = 0.0
+        for x in range(n):
+            arg = (x + xmin - center + 0.5) / filterscale
+            w = max(0.0, 1.0 - abs(arg))  # triangle filter
+            weights[xx, x] = w
+            ww += w
+        if ww != 0.0:
+            weights[xx, :n] /= ww
+        bounds[xx] = (xmin, n)
+    return bounds, weights
+
+
+def _pil_bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) float weights matching PIL bilinear (box-filtered when
+    downscaling) — the float-exact version of Pillow's kernel."""
+    bounds, weights = _pil_coeffs(in_size, out_size)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        xmin, n = bounds[i]
+        m[i, xmin : xmin + n] = weights[i, :n]
+    return m
+
+
+def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) selection matrix matching F.interpolate(mode='nearest'):
+    src = floor(i * in / out)."""
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    idx = np.minimum((np.arange(out_size) * in_size) // out_size, in_size - 1)
+    m[np.arange(out_size), idx] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=256)
+def make_resize_matrix(in_size: int, out_size: int, method: str = "torch_bilinear"):
+    """Precompute a (out_size, in_size) resampling matrix (float32).
+
+    method: 'torch_bilinear' | 'pil_bilinear' | 'nearest'.
+    Cached per static shape pair; called at trace time only.
+    """
+    if method == "torch_bilinear":
+        m = _torch_bilinear_matrix(in_size, out_size)
+    elif method == "pil_bilinear":
+        m = _pil_bilinear_matrix(in_size, out_size)
+    elif method == "nearest":
+        m = _nearest_matrix(in_size, out_size)
+    else:
+        raise ValueError(f"unknown resize method: {method}")
+    return m.astype(np.float32)
+
+
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int, method: str = "torch_bilinear"):
+    """Resize (..., H, W, C) -> (..., out_h, out_w, C) via two matmuls.
+
+    Exact (up to float32 accumulation) w.r.t. the chosen reference semantics.
+    Runs on the MXU; weight matrices are trace-time constants.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    # precision='highest' keeps the resize exact in f32 — the default MXU
+    # precision would quantize the interpolation weights to bf16.
+    if h != out_h:
+        mh = jnp.asarray(make_resize_matrix(h, out_h, method))
+        x = jnp.einsum("oh,...hwc->...owc", mh, x, precision="highest")
+    if w != out_w:
+        mw = jnp.asarray(make_resize_matrix(w, out_w, method))
+        x = jnp.einsum("ow,...hwc->...hoc", mw, x, precision="highest")
+    return x
+
+
+def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int):
+    """Nearest-neighbor resize matching torch F.interpolate(mode='nearest')."""
+    h, w = x.shape[-3], x.shape[-2]
+    idx_h = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    idx_w = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return x[..., idx_h, :, :][..., :, idx_w, :]
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact Pillow uint8 resize (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+
+def _pil_int_weights(in_size: int, out_size: int) -> np.ndarray:
+    """Pillow's normalize_coeffs_8bpc: float weights -> fixed-point int32
+    with round-half-away-from-zero at 22 bits."""
+    m = _pil_bilinear_matrix(in_size, out_size)
+    scaled = m * (1 << _PRECISION_BITS)
+    return np.where(scaled < 0, (scaled - 0.5).astype(np.int64), (scaled + 0.5).astype(np.int64))
+
+
+def _pil_pass(img: np.ndarray, out_size: int, axis: int) -> np.ndarray:
+    """One fixed-point resampling pass over `axis` with clip8 rounding,
+    mirroring Pillow's ImagingResampleHorizontal_8bpc."""
+    in_size = img.shape[axis]
+    kk = _pil_int_weights(in_size, out_size)  # (out, in) int64
+    x = np.moveaxis(img.astype(np.int64), axis, 0)  # (in, ...)
+    acc = np.tensordot(kk, x, axes=(1, 0))  # (out, ...)
+    acc += 1 << (_PRECISION_BITS - 1)
+    out = np.clip(acc >> _PRECISION_BITS, 0, 255).astype(np.uint8)
+    # Pillow's clip8 clamps negative accumulators to 0 before the shift;
+    # for acc < 0 the arithmetic shift floors, so reclamp explicitly.
+    out = np.where(acc <= 0, np.uint8(0), out)
+    return np.moveaxis(out, 0, axis)
+
+
+def pil_resize_uint8(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bit-exact reimplementation of PIL.Image.resize(BILINEAR) for uint8
+    HWC / HW images (horizontal pass then vertical pass, fixed-point,
+    intermediate uint8 rounding — Pillow's Resample.c two-pass pipeline).
+
+    This is the preprocessing resize of the reference
+    (perspectivefields.py:38-46); validated bit-exact against Pillow in
+    tests/test_image.py.
+    """
+    assert img.dtype == np.uint8
+    out = img
+    if img.shape[1] != out_w:
+        out = _pil_pass(out, out_w, axis=1)
+    if img.shape[0] != out_h:
+        out = _pil_pass(out, out_h, axis=0)
+    return out

@@ -1,0 +1,83 @@
+"""Resize-as-matmul parity vs torch F.interpolate and bit-exactness vs PIL."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from PIL import Image
+
+from perspectivefields_tpu.ops import (
+    pil_resize_uint8,
+    resize_bilinear,
+    resize_nearest,
+)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((17, 23), (34, 46)), ((160, 160), (320, 320)), ((320, 320), (240, 427)),
+     ((10, 10), (20, 20)), ((64, 48), (31, 77))],
+)
+def test_bilinear_matches_torch_interpolate(in_hw, out_hw):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, *in_hw, 3)).astype(np.float32)
+    want = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            size=out_hw,
+            mode="bilinear",
+            align_corners=False,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    got = np.asarray(resize_bilinear(x, *out_hw, "torch_bilinear"))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((320, 320), (64, 64)), ((13, 9), (7, 5))])
+def test_nearest_matches_torch(in_hw, out_hw):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, *in_hw, 2)).astype(np.float32)
+    want = (
+        F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw, mode="nearest")
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    got = np.asarray(resize_nearest(x, *out_hw))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((480, 640), (320, 320)), ((320, 320), (320, 320)), ((123, 457), (320, 320)),
+     ((100, 100), (320, 320)), ((1080, 1920), (320, 320))],
+)
+def test_pil_resize_bit_exact(in_hw, out_hw):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(*in_hw, 3), dtype=np.uint8)
+    want = np.asarray(
+        Image.fromarray(img).resize((out_hw[1], out_hw[0]), Image.BILINEAR)
+    )
+    got = pil_resize_uint8(img, *out_hw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pil_resize_grayscale():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(200, 317), dtype=np.uint8)
+    want = np.asarray(Image.fromarray(img, mode="L").resize((320, 320), Image.BILINEAR))
+    got = pil_resize_uint8(img, 320, 320)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_pil_matrix_close_to_exact():
+    """The on-device float 'pil_bilinear' fast path stays within 1 LSB of the
+    bit-exact host path (used when preprocessing runs fully on TPU)."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
+    exact = pil_resize_uint8(img, 320, 320).astype(np.float32)
+    approx = np.asarray(
+        resize_bilinear(img.astype(np.float32), 320, 320, "pil_bilinear")
+    )
+    assert np.max(np.abs(np.round(approx) - exact)) <= 1.0
