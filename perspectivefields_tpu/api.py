@@ -1,0 +1,272 @@
+"""Public API: the `PerspectiveFields` model class.
+
+Mirrors the reference's user surface (reference: perspectivefields.py:121-272:
+``PerspectiveFields(version)``, ``.inference(img_bgr)``,
+``.inference_batch(img_bgr_list)``, ``.versions()``, ``model_zoo``) on top of
+a jit-compiled JAX pipeline:
+
+  host: uint8 BGR image -> PIL-exact bilinear resize to 320x320   (parity mode)
+  device (one jit program): normalize -> MiT backbone -> decode heads ->
+      ParamNet -> postprocess resize-back + field decode (vmapped per batch)
+
+Differences from the reference, by design:
+* returns numpy arrays in channels-last (H, W, C) layout (TPU-native);
+  pass channels_first=True for reference-layout outputs.
+* the whole forward *and* per-image postprocess run on device inside jit —
+  the reference's per-image Python postprocess loop and scipy fsolve host
+  syncs (perspectivefields.py:255-271) do not exist here.
+* batch inference shards over all available devices via a 1-D data mesh
+  (parallel/sharding.py) — the reference is single-device only.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import warnings
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint.io import load_params
+from .config import ModelConfig, model_zoo
+from .models import PersNet
+from .ops.image import pil_resize_uint8, resize_bilinear
+from .ops.postprocess import postprocess_gravity, postprocess_latitude
+
+_WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
+
+
+class PerspectiveFields:
+    """Single-image camera calibration model.
+
+    Args:
+        version: one of ``model_zoo`` keys (5 released versions), or "custom"
+            with an explicit ``config``.
+        params: flax params pytree, or path to a converted checkpoint
+            (.npz / orbax dir). Defaults to
+            ``perspectivefields_tpu/weights/<version>.npz`` if present, else
+            random init (with a warning — fields will be meaningless).
+        compute_dtype: "bfloat16" (fast TPU path) or "float32" (parity).
+        use_pallas: use the fused Pallas SR-attention kernel on TPU.
+        device_preprocess: resize input images on device with the float
+            PIL-equivalent matrix kernel instead of host-side exact PIL.
+    """
+
+    def __init__(
+        self,
+        version: str = "Paramnet-360Cities-edina-centered",
+        params=None,
+        config: Optional[ModelConfig] = None,
+        compute_dtype: str = "float32",
+        use_pallas: bool = False,
+        device_preprocess: bool = False,
+    ):
+        if config is None:
+            if version not in model_zoo:
+                raise ValueError(
+                    f"unknown version {version!r}; known: {list(model_zoo)}"
+                )
+            config = model_zoo[version]["config"]
+        self.version = version
+        self.cfg = config
+        self.param_on = config.param_on
+        self.input_format = config.input_format
+        self.device_preprocess = device_preprocess
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+        self.model = PersNet(config, dtype=dtype, use_pallas=use_pallas)
+        self.params = self._init_params(params)
+        self._pixel_mean = np.asarray(config.pixel_mean, np.float32)
+        self._pixel_std = np.asarray(config.pixel_std, np.float32)
+
+    # ------------------------------------------------------------------ setup
+
+    def _init_params(self, params):
+        if isinstance(params, (str, os.PathLike)):
+            return load_params(str(params))
+        if params is not None:
+            return params
+        default = os.path.join(_WEIGHTS_DIR, f"{self.version}.npz")
+        if os.path.exists(default):
+            return load_params(default)
+        warnings.warn(
+            f"No weights found for {self.version!r} (looked in {default}); "
+            "using random initialization. Convert the released torch "
+            "checkpoint with checkpoint/torch_convert.py for real predictions.",
+            stacklevel=2,
+        )
+        h, w = self.cfg.resize
+        return jax.jit(self.model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32)
+        )
+
+    @staticmethod
+    def versions():
+        """Print the zoo (reference: perspectivefields.py:169-173)."""
+        for key, entry in model_zoo.items():
+            print(key)
+            print(f"   - {entry['description']}")
+
+    # ---------------------------------------------------------------- forward
+
+    @functools.cached_property
+    def _forward_fn(self):
+        """jit: (params, raw uint8/float BGR images at net res) -> raw preds."""
+        mean = jnp.asarray(self._pixel_mean)
+        std = jnp.asarray(self._pixel_std)
+
+        def fwd(params, images):
+            x = (images.astype(jnp.float32) - mean) / std
+            return self.model.apply(params, x, deterministic=True)
+
+        return jax.jit(fwd)
+
+    @functools.cache
+    def _postprocess_fn(self, out_h: int, out_w: int):
+        """jit per original size: raw preds -> original-resolution fields."""
+        cfg = self.cfg
+        image_size = cfg.resize
+
+        def post(raw: Dict[str, jnp.ndarray]):
+            res: Dict[str, jnp.ndarray] = {}
+            if "pred_gravity" in raw:
+                res["pred_gravity_original"] = jax.vmap(
+                    lambda p: postprocess_gravity(
+                        p, image_size, out_h, out_w,
+                        cfg.gravity.loss_type, cfg.gravity.num_classes,
+                    )
+                )(raw["pred_gravity"].astype(jnp.float32))
+            if "pred_latitude" in raw:
+                res["pred_latitude_original"] = jax.vmap(
+                    lambda p: postprocess_latitude(
+                        p, image_size, out_h, out_w,
+                        cfg.latitude.loss_type, cfg.latitude.num_classes,
+                    )
+                )(raw["pred_latitude"].astype(jnp.float32))
+            return res
+
+        return jax.jit(post)
+
+    @functools.cached_property
+    def _device_resize_fn(self):
+        """jit per input size: uint8 NHWC batch -> float net-res batch."""
+        h, w = self.cfg.resize
+
+        @functools.cache
+        def make(in_h, in_w):
+            def fn(imgs):
+                return resize_bilinear(
+                    imgs.astype(jnp.float32), h, w, "pil_bilinear"
+                )
+
+            return jax.jit(fn)
+
+        return make
+
+    # -------------------------------------------------------------- inference
+
+    def _preprocess_host(self, img_bgr: np.ndarray) -> np.ndarray:
+        if self.input_format == "RGB":
+            img_bgr = img_bgr[:, :, ::-1]
+        h, w = self.cfg.resize
+        if img_bgr.dtype == np.uint8:
+            return pil_resize_uint8(np.ascontiguousarray(img_bgr), h, w).astype(
+                np.float32
+            )
+        # float input: torch-bilinear semantics (perspectivefields.py:47-66)
+        return np.asarray(
+            resize_bilinear(img_bgr.astype(np.float32), h, w, "torch_bilinear")
+        )
+
+    def inference(self, img_bgr: np.ndarray, channels_first: bool = False) -> Dict:
+        """Predict fields (+ camera params) for one BGR image (HWC uint8).
+
+        Returns the reference's output contract
+        (perspectivefields.py:194-205): pred_gravity / pred_latitude at
+        network resolution, *_original at input resolution,
+        pred_latitude_original_mode='deg', and pred_roll / pred_pitch /
+        pred_general_vfov / pred_rel_cx / pred_rel_cy / pred_rel_focal scalars
+        for ParamNet versions.
+        """
+        return self.inference_batch([img_bgr], channels_first)[0]
+
+    def inference_batch(
+        self, img_bgr_list: Sequence[np.ndarray], channels_first: bool = False
+    ) -> List[Dict]:
+        """Batched inference. Images may have mixed sizes; postprocess is
+        grouped by original size (one jit specialization per distinct size).
+        """
+        sizes = [img.shape[:2] for img in img_bgr_list]
+        if self.device_preprocess and all(
+            img.dtype == np.uint8 and img.shape == img_bgr_list[0].shape
+            for img in img_bgr_list
+        ):
+            stack = np.stack(
+                [
+                    img[:, :, ::-1] if self.input_format == "RGB" else img
+                    for img in img_bgr_list
+                ]
+            )
+            ih, iw = stack.shape[1:3]
+            net_in = self._device_resize_fn(ih, iw)(jnp.asarray(stack))
+        else:
+            net_in = jnp.asarray(
+                np.stack([self._preprocess_host(img) for img in img_bgr_list])
+            )
+
+        raw = self._forward_fn(self.params, net_in)
+
+        results: List[Dict] = [dict() for _ in img_bgr_list]
+        # raw per-image predictions (network resolution)
+        for i in range(len(img_bgr_list)):
+            for key in ("pred_gravity", "pred_latitude"):
+                if key in raw:
+                    results[i][key] = self._export(raw[key][i], channels_first)
+            if self.param_on:
+                for key, val in raw.items():
+                    if key.startswith("pred_") and val.ndim == 1:
+                        results[i][key] = np.asarray(val[i])
+                if "pred_vfov" not in raw and "pred_general_vfov" in raw:
+                    results[i]["pred_general_vfov"] = np.asarray(
+                        raw["pred_general_vfov"][i]
+                    )
+
+        # group postprocess by original size
+        by_size: Dict[tuple, List[int]] = {}
+        for i, s in enumerate(sizes):
+            by_size.setdefault(s, []).append(i)
+        for (oh, ow), idxs in by_size.items():
+            sub = {
+                k: raw[k][jnp.asarray(idxs)]
+                for k in ("pred_gravity", "pred_latitude")
+                if k in raw
+            }
+            post = self._postprocess_fn(int(oh), int(ow))(sub)
+            for j, i in enumerate(idxs):
+                if "pred_gravity_original" in post:
+                    results[i]["pred_gravity_original"] = self._export(
+                        post["pred_gravity_original"][j], channels_first
+                    )
+                if "pred_latitude_original" in post:
+                    results[i]["pred_latitude_original"] = np.asarray(
+                        post["pred_latitude_original"][j]
+                    )
+                    results[i]["pred_latitude_original_mode"] = "deg"
+        return results
+
+    @staticmethod
+    def _export(arr: jnp.ndarray, channels_first: bool) -> np.ndarray:
+        a = np.asarray(arr)
+        if channels_first and a.ndim == 3:
+            a = np.moveaxis(a, -1, 0)
+        return a
+
+    # ------------------------------------------------------------------ misc
+
+    def forward(self, images_nhwc: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Raw jit forward on an already-resized (B, 320, 320, 3) BGR batch
+        (unnormalized); returns device arrays. The building block for custom
+        serving loops."""
+        return self._forward_fn(self.params, images_nhwc)

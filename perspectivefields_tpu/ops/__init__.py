@@ -28,6 +28,12 @@ from .image import (
     resize_bilinear,
     resize_nearest,
 )
+from .pano import (
+    crop_distortion,
+    crop_equi_with_fields,
+    equi2pers,
+    grid_sample_equi,
+)
 from .postprocess import pf_postprocess
 
 __all__ = [
@@ -51,4 +57,8 @@ __all__ = [
     "resize_nearest",
     "pil_resize_uint8",
     "pf_postprocess",
+    "equi2pers",
+    "crop_equi_with_fields",
+    "crop_distortion",
+    "grid_sample_equi",
 ]

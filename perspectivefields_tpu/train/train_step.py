@@ -1,0 +1,93 @@
+"""pjit training step over a (data, model) mesh.
+
+New capability relative to the mounted reference branch (inference-only):
+optax AdamW, jit/pjit value-and-grad step with batch sharded over the 'data'
+axis and parameters sharded per the tensor-parallel rules in
+parallel/sharding.py. Gradient reduction happens implicitly via GSPMD (the
+batch-sharded loss mean inserts a psum over ICI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.sharding import param_shardings
+from .losses import total_loss
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, children: TrainState(*children),
+)
+
+
+def create_train_state(
+    model,
+    rng,
+    sample_batchless_shape=(320, 320, 3),
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-2,
+    mesh: Optional[Mesh] = None,
+):
+    """Initialize params (+optimizer) — optionally laid out over a mesh."""
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    sample = jnp.zeros((1, *sample_batchless_shape), jnp.float32)
+    params = jax.jit(model.init)(rng, sample)
+    if mesh is not None:
+        params = jax.device_put(params, param_shardings(mesh, params))
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg,
+    mesh: Optional[Mesh] = None,
+    loss_fn: Callable = total_loss,
+):
+    """Build the jit train step: (state, batch) -> (state, metrics).
+
+    batch: dict with 'image' (B, H, W, 3) normalized NHWC + gt_* targets (see
+    losses.total_loss). With a mesh, inputs are constrained to the 'data' axis
+    and the optimizer update runs in the same XLA program (no host sync).
+    """
+
+    def step(state: TrainState, batch):
+        images = batch["image"]
+        if mesh is not None:
+            spec = P("data", *([None] * (images.ndim - 1)))
+            images = jax.lax.with_sharding_constraint(
+                images, NamedSharding(mesh, spec)
+            )
+
+        def objective(params):
+            out = model.apply(
+                params, images, deterministic=False, rngs={"dropout": jax.random.PRNGKey(0)}
+            )
+            loss, parts = loss_fn(out, batch, cfg)
+            return loss, parts
+
+        (loss, parts), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **parts}
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,24 @@
+"""Host-side utilities: visualization, drawing, profiling."""
+
+from .draw import (
+    draw_from_r_p_f,
+    draw_from_r_p_f_cx_cy,
+    draw_horizon_line,
+    draw_latitude_field,
+    draw_perspective_fields,
+    draw_prediction_distribution,
+    draw_up_field,
+)
+from .visualizer import VisImage, VisualizerPerspective
+
+__all__ = [
+    "draw_perspective_fields",
+    "draw_up_field",
+    "draw_latitude_field",
+    "draw_from_r_p_f",
+    "draw_from_r_p_f_cx_cy",
+    "draw_horizon_line",
+    "draw_prediction_distribution",
+    "VisImage",
+    "VisualizerPerspective",
+]

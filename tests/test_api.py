@@ -1,0 +1,105 @@
+"""Public API contract tests (tiny config, random weights)."""
+
+import numpy as np
+import pytest
+
+from perspectivefields_tpu import PerspectiveFields, model_zoo
+from perspectivefields_tpu.config import (
+    BackboneConfig,
+    GravityHeadConfig,
+    LatitudeHeadConfig,
+    ModelConfig,
+    ParamNetConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_api():
+    cfg = ModelConfig(
+        version="custom",
+        backbone=BackboneConfig(dims=(8, 16, 24, 32), depths=(1, 1, 1, 1), num_heads=(1, 2, 3, 4)),
+        gravity=GravityHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        latitude=LatitudeHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        param=ParamNetConfig(
+            name="ParamNetConvNextRegress",
+            predict_params=("roll", "pitch", "general_vfov", "rel_cx", "rel_cy"),
+            input_size=32,
+        ),
+        recover_rpf=True,
+        recover_pp=True,
+        resize=(64, 64),
+    )
+    with pytest.warns(UserWarning, match="random initialization"):
+        return PerspectiveFields(version="custom", config=cfg)
+
+
+def test_zoo_has_five_versions():
+    assert len(model_zoo) == 5
+    assert "PersNet-360Cities" in model_zoo
+    assert "Paramnet-360Cities-edina-centered" in model_zoo
+
+
+def test_versions_prints(capsys):
+    PerspectiveFields.versions()
+    out = capsys.readouterr().out
+    for v in model_zoo:
+        assert v in out
+
+
+def test_inference_output_contract(tiny_api):
+    img = np.random.default_rng(0).integers(0, 256, size=(48, 80, 3), dtype=np.uint8)
+    pred = tiny_api.inference(img_bgr=img)
+    assert pred["pred_gravity"].shape == (64, 64, 2)
+    assert pred["pred_latitude"].shape == (64, 64, 1)
+    assert pred["pred_gravity_original"].shape == (48, 80, 2)
+    assert pred["pred_latitude_original"].shape == (48, 80)
+    assert pred["pred_latitude_original_mode"] == "deg"
+    for k in ("pred_roll", "pred_pitch", "pred_general_vfov", "pred_rel_cx",
+              "pred_rel_cy", "pred_rel_focal"):
+        assert pred[k].shape == (), k
+    # up-vectors unit norm after postprocess renormalize
+    norms = np.linalg.norm(pred["pred_gravity_original"], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    # latitude in degrees range
+    assert np.abs(pred["pred_latitude_original"]).max() <= 90.0 + 1e-3
+
+
+def test_channels_first_layout(tiny_api):
+    img = np.random.default_rng(1).integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    pred = tiny_api.inference(img_bgr=img, channels_first=True)
+    assert pred["pred_gravity"].shape == (2, 64, 64)
+    assert pred["pred_gravity_original"].shape == (2, 40, 40)
+
+
+def test_batch_mixed_sizes(tiny_api):
+    rng = np.random.default_rng(2)
+    imgs = [
+        rng.integers(0, 256, size=(40, 60, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(30, 30, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(40, 60, 3), dtype=np.uint8),
+    ]
+    preds = tiny_api.inference_batch(img_bgr_list=imgs)
+    assert len(preds) == 3
+    assert preds[0]["pred_gravity_original"].shape == (40, 60, 2)
+    assert preds[1]["pred_gravity_original"].shape == (30, 30, 2)
+    assert preds[2]["pred_gravity_original"].shape == (40, 60, 2)
+
+
+def test_batch_consistent_with_single(tiny_api):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    single = tiny_api.inference(img_bgr=img)
+    batch = tiny_api.inference_batch(img_bgr_list=[img, img])
+    np.testing.assert_allclose(
+        single["pred_gravity_original"],
+        batch[1]["pred_gravity_original"],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(single["pred_roll"]), float(batch[0]["pred_roll"]), atol=1e-5
+    )
+
+
+def test_unknown_version_raises():
+    with pytest.raises(ValueError, match="unknown version"):
+        PerspectiveFields(version="not-a-model")
