@@ -1,0 +1,225 @@
+// Native host-side preprocessing for perspectivefields_tpu.
+//
+// The TPU inference pipeline is host-bound on image decode/resize when
+// serving at high throughput; this library provides the hot host path as
+// native code (the reference's preprocessing is PIL, perspectivefields.py:
+// 38-46):
+//
+//   * pf_pil_resize_u8: bit-exact reimplementation of Pillow's fixed-point
+//     bilinear resize for uint8 HWC images (two passes, 22-bit coefficients,
+//     clip8 rounding) — identical output to PIL.Image.resize(BILINEAR).
+//   * pf_preprocess_batch: batched resize + (x - mean) / std normalize into
+//     a float32 NHWC buffer, OpenMP-parallel over the batch — one call
+//     prepares a full device batch.
+//
+// Exposed with a plain C ABI for ctypes (no pybind11 dependency).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // Pillow's 8bpc precision
+
+struct Coeffs {
+  std::vector<int> bounds_min;
+  std::vector<int> bounds_len;
+  std::vector<int> weights;  // ksize per output pixel, fixed-point
+  int ksize = 0;
+};
+
+// Pillow precompute_coeffs for the triangle filter + 8bpc normalization.
+Coeffs precompute(int in_size, int out_size) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = filterscale;  // triangle support == 1.0
+  const int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+
+  Coeffs c;
+  c.ksize = ksize;
+  c.bounds_min.resize(out_size);
+  c.bounds_len.resize(out_size);
+  c.weights.assign(static_cast<size_t>(out_size) * ksize, 0);
+  std::vector<double> k(ksize);
+
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    const int n = xmax - xmin;
+    double ww = 0.0;
+    for (int x = 0; x < n; ++x) {
+      const double arg = (x + xmin - center + 0.5) / filterscale;
+      const double w = arg < -1.0 || arg > 1.0 ? 0.0 : 1.0 - std::fabs(arg);
+      k[x] = w;
+      ww += w;
+    }
+    int* wrow = &c.weights[static_cast<size_t>(xx) * ksize];
+    for (int x = 0; x < n; ++x) {
+      const double prek = ww == 0.0 ? 0.0 : k[x] / ww;
+      wrow[x] = prek < 0 ? static_cast<int>(-0.5 + prek * (1 << kPrecisionBits))
+                         : static_cast<int>(0.5 + prek * (1 << kPrecisionBits));
+    }
+    c.bounds_min[xx] = xmin;
+    c.bounds_len[xx] = n;
+  }
+  return c;
+}
+
+// int32 accumulation is safe (Pillow does the same): normalized coefficients
+// sum to 2^22, so max accumulator is 255 * 2^22 + 2^21 < 2^31.
+inline uint8_t clip8(int32_t in) {
+  if (in >= (1 << (kPrecisionBits + 8))) return 255;
+  if (in <= 0) return 0;
+  return static_cast<uint8_t>(in >> kPrecisionBits);
+}
+
+// Horizontal pass: (h, in_w, ch) -> (h, out_w, ch)
+void resample_horizontal(const uint8_t* __restrict src, int h, int in_w,
+                         int ch, uint8_t* __restrict dst, int out_w,
+                         const Coeffs& c) {
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* srow = src + static_cast<size_t>(y) * in_w * ch;
+    uint8_t* drow = dst + static_cast<size_t>(y) * out_w * ch;
+    if (ch == 3) {
+      for (int x = 0; x < out_w; ++x) {
+        const int xmin = c.bounds_min[x];
+        const int n = c.bounds_len[x];
+        const int* w = &c.weights[static_cast<size_t>(x) * c.ksize];
+        int32_t s0 = 1 << (kPrecisionBits - 1), s1 = s0, s2 = s0;
+        const uint8_t* p = srow + xmin * 3;
+        for (int i = 0; i < n; ++i) {
+          const int32_t wi = w[i];
+          s0 += int32_t(p[0]) * wi;
+          s1 += int32_t(p[1]) * wi;
+          s2 += int32_t(p[2]) * wi;
+          p += 3;
+        }
+        drow[x * 3 + 0] = clip8(s0);
+        drow[x * 3 + 1] = clip8(s1);
+        drow[x * 3 + 2] = clip8(s2);
+      }
+    } else {
+      for (int x = 0; x < out_w; ++x) {
+        const int xmin = c.bounds_min[x];
+        const int n = c.bounds_len[x];
+        const int* w = &c.weights[static_cast<size_t>(x) * c.ksize];
+        for (int cc = 0; cc < ch; ++cc) {
+          int32_t ss = 1 << (kPrecisionBits - 1);
+          for (int i = 0; i < n; ++i)
+            ss += int32_t(srow[(xmin + i) * ch + cc]) * w[i];
+          drow[x * ch + cc] = clip8(ss);
+        }
+      }
+    }
+  }
+}
+
+// Vertical pass: (in_h, w, ch) -> (out_h, w, ch). Row-major accumulation —
+// the inner x loop is contiguous and auto-vectorizes.
+void resample_vertical(const uint8_t* __restrict src, int in_h, int w, int ch,
+                       uint8_t* __restrict dst, int out_h, const Coeffs& c) {
+  const int row = w * ch;
+  std::vector<int32_t> acc(row);
+  for (int y = 0; y < out_h; ++y) {
+    const int ymin = c.bounds_min[y];
+    const int n = c.bounds_len[y];
+    const int* wt = &c.weights[static_cast<size_t>(y) * c.ksize];
+    std::fill(acc.begin(), acc.end(), 1 << (kPrecisionBits - 1));
+    for (int i = 0; i < n; ++i) {
+      const uint8_t* srow = src + static_cast<size_t>(ymin + i) * row;
+      const int32_t wi = wt[i];
+      int32_t* a = acc.data();
+      for (int x = 0; x < row; ++x) a[x] += int32_t(srow[x]) * wi;
+    }
+    uint8_t* drow = dst + static_cast<size_t>(y) * row;
+    for (int x = 0; x < row; ++x) drow[x] = clip8(acc[x]);
+  }
+}
+
+void pil_resize_one(const uint8_t* src, int in_h, int in_w, int ch,
+                    uint8_t* dst, int out_h, int out_w,
+                    const Coeffs& ch_coef, const Coeffs& cv_coef,
+                    std::vector<uint8_t>& tmp) {
+  const uint8_t* cur = src;
+  int cur_h = in_h, cur_w = in_w;
+  if (in_w != out_w) {
+    tmp.resize(static_cast<size_t>(in_h) * out_w * ch);
+    resample_horizontal(cur, in_h, in_w, ch, tmp.data(), out_w, ch_coef);
+    cur = tmp.data();
+    cur_w = out_w;
+  }
+  if (in_h != out_h) {
+    resample_vertical(cur, cur_h, cur_w, ch, dst, out_h, cv_coef);
+  } else {
+    std::memcpy(dst, cur, static_cast<size_t>(out_h) * out_w * ch);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Bit-exact PIL bilinear resize of one uint8 HWC image.
+void pf_pil_resize_u8(const uint8_t* src, int in_h, int in_w, int ch,
+                      uint8_t* dst, int out_h, int out_w) {
+  const Coeffs ch_coef = precompute(in_w, out_w);
+  const Coeffs cv_coef = precompute(in_h, out_h);
+  std::vector<uint8_t> tmp;
+  pil_resize_one(src, in_h, in_w, ch, dst, out_h, out_w, ch_coef, cv_coef, tmp);
+}
+
+// Batched resize + normalize: n images (same in_h x in_w x 3, uint8,
+// contiguous) -> float32 (n, out_h, out_w, 3) with (x - mean[c]) / std[c].
+// bgr_flip != 0 reverses the channel order (RGB source -> BGR model input).
+// OpenMP-parallel over images.
+void pf_preprocess_batch(const uint8_t* src, int n, int in_h, int in_w,
+                         float* dst, int out_h, int out_w,
+                         const float* mean, const float* stdv, int bgr_flip) {
+  const Coeffs ch_coef = precompute(in_w, out_w);
+  const Coeffs cv_coef = precompute(in_h, out_h);
+  const size_t in_stride = static_cast<size_t>(in_h) * in_w * 3;
+  const size_t out_px = static_cast<size_t>(out_h) * out_w;
+
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<uint8_t> tmp;
+    std::vector<uint8_t> resized(out_px * 3);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int i = 0; i < n; ++i) {
+      pil_resize_one(src + i * in_stride, in_h, in_w, 3, resized.data(), out_h,
+                     out_w, ch_coef, cv_coef, tmp);
+      float* out = dst + i * out_px * 3;
+      for (size_t p = 0; p < out_px; ++p) {
+        for (int cc = 0; cc < 3; ++cc) {
+          const int sc = bgr_flip ? 2 - cc : cc;
+          out[p * 3 + cc] =
+              (static_cast<float>(resized[p * 3 + sc]) - mean[cc]) / stdv[cc];
+        }
+      }
+    }
+  }
+}
+
+int pf_num_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"

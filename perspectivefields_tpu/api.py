@@ -123,6 +123,15 @@ class PerspectiveFields:
 
         return jax.jit(fwd)
 
+    @functools.cached_property
+    def _forward_prenormalized_fn(self):
+        """jit: (params, already-normalized float images) -> raw preds."""
+
+        def fwd(params, images):
+            return self.model.apply(params, images, deterministic=True)
+
+        return jax.jit(fwd)
+
     @functools.cache
     def _postprocess_fn(self, out_h: int, out_w: int):
         """jit per original size: raw preds -> original-resolution fields."""
@@ -199,10 +208,14 @@ class PerspectiveFields:
         grouped by original size (one jit specialization per distinct size).
         """
         sizes = [img.shape[:2] for img in img_bgr_list]
-        if self.device_preprocess and all(
-            img.dtype == np.uint8 and img.shape == img_bgr_list[0].shape
+        uniform_u8 = all(
+            img.dtype == np.uint8
+            and img.ndim == 3
+            and img.shape == img_bgr_list[0].shape
+            and img.shape[2] == 3
             for img in img_bgr_list
-        ):
+        )
+        if self.device_preprocess and uniform_u8:
             stack = np.stack(
                 [
                     img[:, :, ::-1] if self.input_format == "RGB" else img
@@ -211,13 +224,36 @@ class PerspectiveFields:
             )
             ih, iw = stack.shape[1:3]
             net_in = self._device_resize_fn(ih, iw)(jnp.asarray(stack))
+        elif uniform_u8:
+            # native fused resize+normalize (bit-exact PIL); normalization
+            # happens here, so feed the forward pre-normalized inputs with
+            # identity mean/std
+            from . import native
+
+            h, w = self.cfg.resize
+            net_in = jnp.asarray(
+                native.preprocess_batch(
+                    np.stack(img_bgr_list),
+                    h,
+                    w,
+                    self._pixel_mean,
+                    self._pixel_std,
+                    bgr_flip=self.input_format == "RGB",
+                )
+            )
+            raw = self._forward_prenormalized_fn(self.params, net_in)
+            return self._package_results(raw, img_bgr_list, sizes, channels_first)
         else:
             net_in = jnp.asarray(
                 np.stack([self._preprocess_host(img) for img in img_bgr_list])
             )
 
         raw = self._forward_fn(self.params, net_in)
+        return self._package_results(raw, img_bgr_list, sizes, channels_first)
 
+    def _package_results(
+        self, raw, img_bgr_list, sizes, channels_first: bool
+    ) -> List[Dict]:
         results: List[Dict] = [dict() for _ in img_bgr_list]
         # raw per-image predictions (network resolution)
         for i in range(len(img_bgr_list)):

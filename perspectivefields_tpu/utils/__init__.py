@@ -9,6 +9,7 @@ from .draw import (
     draw_prediction_distribution,
     draw_up_field,
 )
+from .profiling import StageTimer, guard_nans, profile_to, trace
 from .visualizer import VisImage, VisualizerPerspective
 
 __all__ = [
@@ -21,4 +22,8 @@ __all__ = [
     "draw_prediction_distribution",
     "VisImage",
     "VisualizerPerspective",
+    "trace",
+    "profile_to",
+    "StageTimer",
+    "guard_nans",
 ]
