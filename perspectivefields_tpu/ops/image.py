@@ -118,21 +118,33 @@ def make_resize_matrix(in_size: int, out_size: int, method: str = "torch_bilinea
     return m.astype(np.float32)
 
 
-def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int, method: str = "torch_bilinear"):
+def resize_bilinear(
+    x: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    method: str = "torch_bilinear",
+    precision: str | None = "auto",
+):
     """Resize (..., H, W, C) -> (..., out_h, out_w, C) via two matmuls.
 
-    Exact (up to float32 accumulation) w.r.t. the chosen reference semantics.
     Runs on the MXU; weight matrices are trace-time constants.
+
+    precision: "auto" (default) picks exact 'highest' for float32 inputs
+    (bit-parity with the reference resamplers) and the fast default MXU path
+    for bfloat16 inputs — so a bf16 model's decoder upsamples stay bf16
+    instead of silently promoting the whole head to f32. Pass an explicit
+    jax precision to override.
     """
     h, w = x.shape[-3], x.shape[-2]
-    # precision='highest' keeps the resize exact in f32 — the default MXU
-    # precision would quantize the interpolation weights to bf16.
+    if precision == "auto":
+        precision = None if x.dtype == jnp.bfloat16 else "highest"
+    mat_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     if h != out_h:
-        mh = jnp.asarray(make_resize_matrix(h, out_h, method))
-        x = jnp.einsum("oh,...hwc->...owc", mh, x, precision="highest")
+        mh = jnp.asarray(make_resize_matrix(h, out_h, method), mat_dtype)
+        x = jnp.einsum("oh,...hwc->...owc", mh, x, precision=precision)
     if w != out_w:
-        mw = jnp.asarray(make_resize_matrix(w, out_w, method))
-        x = jnp.einsum("ow,...hwc->...hoc", mw, x, precision="highest")
+        mw = jnp.asarray(make_resize_matrix(w, out_w, method), mat_dtype)
+        x = jnp.einsum("ow,...hwc->...hoc", mw, x, precision=precision)
     return x
 
 
