@@ -3,24 +3,32 @@
 Measures the flagship model (mit_b3 + both heads + ParamNet, bf16 compute)
 on the end-to-end device path: 640x640 uint8 BGR batch -> on-device
 PIL-equivalent resize to 320x320 -> normalize -> forward -> ParamNet +
-postprocess fields back to 640px. This matches the BASELINE.md north-star
-metric (640px images/sec; target 5000/s on a v5e-8 => 625/s/chip).
+postprocess fields back to 640px. Matches the BASELINE.md north-star metric
+(640px images/sec; target 5000/s on a v5e-8 => 625/s/chip).
+
+Methodology: K distinct batches are processed inside ONE jit program
+(lax.scan) and a scalar checksum is read back — under this environment's
+remote execution, block_until_ready does not reliably synchronize, so
+dispatch-side timing overstates (see PERF_NOTES.md). Every image is really
+processed; wall time / images is the honest device throughput.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 """
 
+import functools
 import json
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips (BASELINE.md north star)
 
 
-def build_pipeline(batch: int, use_pallas: bool):
+def build(batch: int, use_pallas: bool):
     from perspectivefields_tpu.config import model_zoo
     from perspectivefields_tpu.models import PersNet
     from perspectivefields_tpu.ops.image import resize_bilinear
@@ -35,8 +43,7 @@ def build_pipeline(batch: int, use_pallas: bool):
     std = jnp.asarray(cfg.pixel_std)
 
     def pipeline(params, images_u8):
-        # bf16 device resize: uint8 values are exact in bf16; the fast path
-        # trades <=1 LSB of resample error for MXU-speed preprocessing
+        # uint8 values are exact in bf16; device resize on the MXU
         x = resize_bilinear(images_u8.astype(jnp.bfloat16), 320, 320, "pil_bilinear")
         x = (x.astype(jnp.float32) - mean) / std
         out = model.apply(params, x, deterministic=True)
@@ -48,39 +55,56 @@ def build_pipeline(batch: int, use_pallas: bool):
         )(out["pred_latitude"].astype(jnp.float32))
         return up, lat, out["pred_roll"], out["pred_pitch"], out["pred_general_vfov"]
 
-    images = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, size=(batch, 640, 640, 3)),
-        jnp.uint8,
+    @functools.partial(jax.jit, static_argnames=())
+    def run_k(params, batches):
+        """batches: (K, B, 640, 640, 3) uint8; returns a checksum that
+        depends on every output of every batch."""
+
+        def body(carry, images):
+            up, lat, roll, pitch, vfov = pipeline(params, images)
+            s = (
+                jnp.sum(up[:, ::97, ::97]).astype(jnp.float32)
+                + jnp.sum(lat[:, ::97, ::97]).astype(jnp.float32)
+                + jnp.sum(roll + pitch + vfov).astype(jnp.float32)
+            )
+            return carry + s, ()
+
+        total, _ = lax.scan(body, jnp.float32(0.0), batches)
+        return total
+
+    k = max(1, 512 // batch)
+    rng = np.random.default_rng(0)
+    batches = jnp.asarray(
+        rng.integers(0, 256, size=(k, batch, 640, 640, 3)), jnp.uint8
     )
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3), jnp.float32)
     )
-    return jax.jit(pipeline), params, images
+    return run_k, params, batches
 
 
-def measure(fn, params, images, iters=20, warmup=3):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(params, images))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return images.shape[0] * iters / dt
+def measure(fn, params, batches, reps=3):
+    float(fn(params, batches))  # compile + warmup
+    k, b = batches.shape[0], batches.shape[1]
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(params, batches))
+        best = min(best, time.perf_counter() - t0)
+    return k * b / best
 
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
     best = 0.0
-    batches = [32, 64, 128] if on_tpu else [2]
-    for use_pallas in ([True, False] if on_tpu else [False]):
-        for batch in batches:
-            try:
-                fn, params, images = build_pipeline(batch, use_pallas)
-                ips = measure(fn, params, images, iters=20 if on_tpu else 2)
-                best = max(best, ips)
-            except Exception:
-                continue
+    configs = [(64, True), (128, True)] if on_tpu else [(2, False)]
+    for batch, use_pallas in configs:
+        try:
+            fn, params, batches = build(batch, use_pallas)
+            ips = measure(fn, params, batches, reps=3 if on_tpu else 1)
+            best = max(best, ips)
+        except Exception:
+            continue
     print(
         json.dumps(
             {

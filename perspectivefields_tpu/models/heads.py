@@ -19,8 +19,39 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.image import resize_bilinear
+
+
+class _LinearParams(nn.Module):
+    """Parameter holder matching nn.Dense's param tree (kernel/bias)."""
+
+    features_in: int
+    features_out: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.features_in, self.features_out)
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's param tree (kernel/bias)."""
+
+    kh: int
+    kw: int
+    features_in: int
+    features_out: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kh, self.kw, self.features_in, self.features_out),
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
 
 
 class FrozenBatchNorm(nn.Module):
@@ -118,20 +149,70 @@ class SegFormerDecoder(nn.Module):
     embed_dim: int = 768
     fusion_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    # Compose the per-scale Dense(embed_dim) with the following 3x3 conv into
+    # one 3x3 conv whose kernel is the product of the two linear maps — the
+    # same function with ~12x fewer FLOPs at stride 4 (and no 768-wide
+    # intermediate in HBM). Exact up to float rounding: the embed bias's
+    # contribution through the conv's zero padding is restored with a
+    # ones-map conv (see _fused_embed_proc). Parameter tree is identical in
+    # both modes, so converted reference checkpoints work unchanged.
+    fuse_embed: bool = True
+
+    def _fused_embed_proc(self, c, emb: _LinearParams, proc: _ConvParams):
+        compute = self.dtype
+        # compose in f32, cast once
+        fused_k = jnp.einsum(
+            "ce,hwef->hwcf", emb.kernel, proc.kernel, precision="highest"
+        ).astype(compute)
+        y = lax.conv_general_dilated(
+            c.astype(compute),
+            fused_k,
+            (1, 1),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # embed-bias contribution: b_e flows through every conv tap that lands
+        # inside the (zero-padded) embedded map — a 3x3 conv of a ones map.
+        bias_k = jnp.einsum(
+            "e,hwef->hwf", emb.bias, proc.kernel, precision="highest"
+        ).astype(compute)[:, :, None, :]
+        ones = jnp.ones((1, c.shape[1], c.shape[2], 1), compute)
+        bias_map = lax.conv_general_dilated(
+            ones,
+            bias_k,
+            (1, 1),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias_map + proc.bias.astype(compute)
+
+    def _plain_embed_proc(self, c, emb: _LinearParams, proc: _ConvParams):
+        compute = self.dtype
+        e = (
+            jnp.dot(c.astype(compute), emb.kernel.astype(compute))
+            + emb.bias.astype(compute)
+        )
+        y = lax.conv_general_dilated(
+            e,
+            proc.kernel.astype(compute),
+            (1, 1),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + proc.bias.astype(compute)
 
     @nn.compact
     def __call__(self, hl_features, ll_features):
         c1, c2, c3, c4 = hl_features
 
         def embed_proc(c, idx):
-            e = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"linear_c{idx}")(c)
-            return nn.Conv(
-                self.fusion_dim,
-                (3, 3),
-                padding=1,
-                dtype=self.dtype,
-                name=f"linear_c{idx}_proc",
-            )(e)
+            emb = _LinearParams(c.shape[-1], self.embed_dim, name=f"linear_c{idx}")
+            proc = _ConvParams(
+                3, 3, self.embed_dim, self.fusion_dim, name=f"linear_c{idx}_proc"
+            )
+            if self.fuse_embed:
+                return self._fused_embed_proc(c, emb, proc)
+            return self._plain_embed_proc(c, emb, proc)
 
         _c4 = embed_proc(c4, 4)
         _c4 = FeatureFusionBlock(self.fusion_dim, True, self.dtype, name="fusion4")(_c4)

@@ -1,0 +1,57 @@
+"""Serving pipeline: streaming correctness + padding + mesh path."""
+
+import numpy as np
+import pytest
+
+from perspectivefields_tpu import PerspectiveFields
+from perspectivefields_tpu.config import (
+    BackboneConfig,
+    GravityHeadConfig,
+    LatitudeHeadConfig,
+    ModelConfig,
+)
+from perspectivefields_tpu.serving import BatchPredictor
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ModelConfig(
+        version="custom",
+        backbone=BackboneConfig(dims=(8, 16, 24, 32), depths=(1, 1, 1, 1), num_heads=(1, 2, 3, 4)),
+        gravity=GravityHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        latitude=LatitudeHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        resize=(64, 64),
+    )
+    with pytest.warns(UserWarning):
+        return PerspectiveFields(version="custom", config=cfg)
+
+
+def test_streaming_matches_batch_api(tiny_model):
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8) for _ in range(5)]
+    pred = BatchPredictor(tiny_model, batch_size=2, use_mesh=False)
+    outs = pred.predict(imgs)
+    assert len(outs) == 5  # tail padding dropped
+    ref = tiny_model.inference_batch(img_bgr_list=imgs)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(outs[i]["pred_gravity"], np.float32),
+            ref[i]["pred_gravity"],
+            atol=1e-5,
+        )
+    summary = pred.timer.summary()
+    assert "preprocess" in summary and "device_wait" in summary
+
+
+def test_streaming_with_mesh(tiny_model):
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8) for _ in range(16)]
+    pred = BatchPredictor(tiny_model, batch_size=8)  # 8 CPU devices
+    outs = pred.predict(imgs)
+    assert len(outs) == 16
+    ref = tiny_model.inference(img_bgr=imgs[3])
+    np.testing.assert_allclose(
+        np.asarray(outs[3]["pred_gravity"], np.float32),
+        ref["pred_gravity"],
+        atol=5e-4,
+    )

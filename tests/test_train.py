@@ -1,0 +1,82 @@
+"""Training losses: parity vs torch functional oracles + descent smoke."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from perspectivefields_tpu.train import (
+    cross_entropy_loss,
+    gravity_regression_loss,
+    latitude_regression_loss,
+    msgil_norm_loss,
+)
+
+
+def torch_msgil(pred, gt, mask, scales=4):
+    """Oracle implementing the documented multi-scale gradient loss
+    semantics with torch ops (channel-first)."""
+    total = 0.0
+    for i in range(scales):
+        s = 2**i
+        p, g, m = pred[:, :, ::s, ::s], gt[:, :, ::s, ::s], mask[:, :, ::s, ::s]
+        d = p - g
+        mf = m.float()
+        vm = mf[:, :, :-2, :] * mf[:, :, 2:, :]
+        vg = (d[:, :, :-2, :] - d[:, :, 2:, :]).abs() * vm
+        hm = mf[:, :, :, :-2] * mf[:, :, :, 2:]
+        hg = (d[:, :, :, :-2] - d[:, :, :, 2:]).abs() * hm
+        total += (vg.sum() + hg.sum()) / (vm.sum() + hm.sum() + 1e-8)
+    return float(total)
+
+
+def test_msgil_matches_torch_oracle():
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(2, 2, 33, 29)).astype(np.float32)
+    gt = rng.normal(size=(2, 2, 33, 29)).astype(np.float32)
+    mask = rng.uniform(size=(2, 2, 33, 29)) > 0.2
+    want = torch_msgil(
+        torch.from_numpy(pred), torch.from_numpy(gt), torch.from_numpy(mask)
+    )
+    # jnp version is channels-last
+    got = float(
+        msgil_norm_loss(
+            np.moveaxis(pred, 1, -1), np.moveaxis(gt, 1, -1), np.moveaxis(mask, 1, -1)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_cross_entropy_matches_torch_ignore_index():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(2, 8, 8, 73)).astype(np.float32)
+    labels = rng.integers(0, 73, size=(2, 8, 8))
+    labels[0, :2] = 72  # ignored
+    want = float(
+        F.cross_entropy(
+            torch.from_numpy(np.moveaxis(logits, -1, 1)),
+            torch.from_numpy(labels),
+            ignore_index=72,
+        )
+    )
+    got = float(cross_entropy_loss(logits, labels, ignore_index=72))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_gravity_loss_masks_invalid():
+    rng = np.random.default_rng(2)
+    pred = rng.normal(size=(1, 16, 16, 2)).astype(np.float32)
+    gt = rng.normal(size=(1, 16, 16, 2)).astype(np.float32)
+    gt[0, :4] = 0.0  # invalid rows
+    losses = gravity_regression_loss(pred, gt)
+    assert np.isfinite(float(losses["gravity-l2-loss"]))
+    # making the pred match gt on valid pixels zeroes the l2 term
+    pred2 = gt.copy()
+    losses2 = gravity_regression_loss(pred2, gt)
+    assert float(losses2["gravity-l2-loss"]) < 1e-10
+
+
+def test_latitude_loss_zero_at_perfect():
+    rng = np.random.default_rng(3)
+    gt = rng.uniform(-1, 1, size=(1, 16, 16, 1)).astype(np.float32)
+    losses = latitude_regression_loss(gt, gt)
+    assert float(sum(losses.values())) < 1e-10
