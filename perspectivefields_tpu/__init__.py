@@ -14,14 +14,22 @@ Public API mirrors the reference's surface (reference:
 
 __version__ = "0.1.0"
 
-__all__ = ["PerspectiveFields", "model_zoo"]
+__all__ = ["PerspectiveFields", "ResizeTransform", "PanoCam", "model_zoo"]
 
 
 def __getattr__(name):
     # Lazy import keeps `perspectivefields_tpu.ops` usable without pulling in
     # flax/model code (and keeps import time low for ops-only users).
-    if name in ("PerspectiveFields", "model_zoo"):
+    if name in ("PerspectiveFields", "ResizeTransform"):
         from . import api
 
         return getattr(api, name)
+    if name == "model_zoo":
+        from .config import model_zoo
+
+        return model_zoo
+    if name == "PanoCam":
+        from .pano_camera import PanoCam
+
+        return PanoCam
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

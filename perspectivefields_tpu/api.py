@@ -39,6 +39,30 @@ from .ops.postprocess import postprocess_gravity, postprocess_latitude
 _WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
 
 
+class ResizeTransform:
+    """API-compat resize: PIL-exact bilinear for uint8, torch-bilinear for
+    float arrays (reference: perspectivefields.py:16-67)."""
+
+    def __init__(self, new_h: int, new_w: int):
+        self.new_h = new_h
+        self.new_w = new_w
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        if img.dtype == np.uint8:
+            squeeze = img.ndim == 3 and img.shape[2] == 1
+            arr = img[:, :, 0] if squeeze else img
+            out = pil_resize_uint8(np.ascontiguousarray(arr), self.new_h, self.new_w)
+            return out[:, :, None] if squeeze else out
+        arr = np.asarray(img, np.float32)
+        squeeze = arr.ndim == 2
+        if squeeze:
+            arr = arr[:, :, None]
+        out = np.asarray(
+            resize_bilinear(arr, self.new_h, self.new_w, "torch_bilinear")
+        )
+        return out[:, :, 0] if squeeze else out
+
+
 class PerspectiveFields:
     """Single-image camera calibration model.
 

@@ -1,6 +1,6 @@
 """Multi-device execution: meshes, sharding rules, data-parallel serving."""
 
-from .mesh import make_mesh
+from .mesh import init_distributed, make_mesh
 from .sharding import (
     param_shardings,
     replicate,
@@ -10,6 +10,7 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "init_distributed",
     "replicate",
     "shard_batch",
     "param_shardings",

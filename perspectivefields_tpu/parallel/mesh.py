@@ -15,6 +15,26 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Initialize multi-host JAX (DCN scale-out).
+
+    Thin wrapper over jax.distributed.initialize — on Cloud TPU pods the
+    arguments are auto-detected from the metadata server; pass them
+    explicitly elsewhere. Call once per process before building meshes;
+    afterwards jax.devices() spans every host and make_mesh() lays the data
+    axis across DCN+ICI.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

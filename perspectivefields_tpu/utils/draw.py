@@ -157,6 +157,64 @@ def draw_horizon_line(img, horizon, color, thickness=3):
     return output
 
 
+def draw_vanishing(
+    img, horizon, vvp, pad=(1, 1), arrow_len=30, grid_step=20
+):
+    """Render horizon line + VVP + up-vector arrows on a padded canvas.
+
+    Capability parity with the reference's opencv vanishing-point debug view
+    (panocam.py:755-803): the image is centered on a canvas padded by
+    `pad` image-sizes so an out-of-frame VVP stays visible.
+    """
+    import cv2
+
+    img = img.astype(float) / 255 if img.dtype == np.uint8 else img.copy()
+    im_h, im_w, im_c = img.shape
+    canvas = np.ones((im_h * (pad[0] * 2 + 1), im_w * (pad[1] * 2 + 1), im_c))
+    oh, ow = pad[0] * im_h, pad[1] * im_w
+    canvas[oh : oh + im_h, ow : ow + im_w] = img
+
+    if np.all(np.isfinite(horizon)):
+        cv2.line(
+            canvas,
+            (int(ow), int(oh + horizon[0] * im_h)),
+            (int(ow + im_w), int(oh + horizon[1] * im_h)),
+            (1, 0, 0),
+            3,
+        )
+    finite_vvp = np.all(np.isfinite(vvp[:2]))
+    if finite_vvp:
+        vvp_abs = np.array([vvp[0] * im_w + ow, vvp[1] * im_h + oh])
+        cv2.circle(canvas, (int(vvp_abs[0]), int(vvp_abs[1])), 5, (1, 0, 0), -1)
+
+    gx, gy = np.meshgrid(
+        np.arange(ow, ow + im_w + grid_step, grid_step),
+        np.arange(oh, oh + im_h + grid_step, grid_step),
+    )
+    start = np.stack((gx.ravel(), gy.ravel())).T.astype(float)
+    if finite_vvp:
+        d = vvp_abs - start
+        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        arrow = d * vvp[2] * arrow_len
+    else:
+        d = np.array([im_h * (horizon[1] - horizon[0]), -im_w], float)
+        d /= max(np.linalg.norm(d), 1e-12)
+        arrow = np.tile(d * arrow_len, (len(start), 1))
+    for s, e in zip(start.astype(int), (start + arrow).astype(int)):
+        cv2.arrowedLine(canvas, tuple(s), tuple(e), (0, 1, 0), 1, tipLength=0.1)
+    return (255 * canvas).astype(np.uint8)
+
+
+def blend_color(img, color, alpha=0.2):
+    """Alpha-blend a color overlay onto an image (both HWC uint8/float).
+
+    Reference: panocam.py:806-832."""
+    fg = img[:, :, :3].astype(float) * (1.0 if img.dtype == np.uint8 else 255.0)
+    bg = color[:, :, :3].astype(float) * (1.0 if color.dtype == np.uint8 else 255.0)
+    out = alpha * fg + (1.0 - alpha) * bg
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def draw_prediction_distribution(pred, gt):
     """Hexbin of predictions vs ground truth -> RGB array.
 
