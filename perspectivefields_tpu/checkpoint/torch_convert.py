@@ -175,12 +175,26 @@ def map_torch_name(name: str):
     raise KeyError(f"unmapped torch param: {name}")
 
 
-def convert_torch_state_dict(state_dict: Dict[str, np.ndarray]) -> dict:
+def convert_torch_state_dict(
+    state_dict: Dict[str, np.ndarray], strict: bool = False
+) -> dict:
     """Convert a reference torch state dict (flat name -> ndarray) into a flax
-    params pytree matching models/perspective_net.py."""
+    params pytree matching models/perspective_net.py.
+
+    strict=False (default) warns and skips unmappable keys — matching the
+    reference's own strict=False load (perspectivefields.py:192)."""
+    import warnings
+
     tree: dict = {}
+    skipped = []
     for name, value in state_dict.items():
-        mapped = map_torch_name(name)
+        try:
+            mapped = map_torch_name(name)
+        except KeyError:
+            if strict:
+                raise
+            skipped.append(name)
+            continue
         if mapped is None:
             continue
         path, kind, leaf = mapped
@@ -189,6 +203,11 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray]) -> dict:
             continue
         new_leaf, new_val = _convert_tensor(kind, leaf, np.asarray(value))
         _set(tree, path + (new_leaf,), np.asarray(new_val, np.float32))
+    if skipped:
+        warnings.warn(
+            f"skipped {len(skipped)} unmapped checkpoint keys: {skipped[:5]}...",
+            stacklevel=2,
+        )
     return {"params": tree}
 
 
