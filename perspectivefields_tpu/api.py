@@ -85,9 +85,13 @@ class PerspectiveFields:
         params=None,
         config: Optional[ModelConfig] = None,
         compute_dtype: str = "float32",
-        use_pallas: bool = False,
+        use_pallas: Optional[bool] = None,
         device_preprocess: bool = False,
     ):
+        if use_pallas is None:
+            # the fused SR-attention kernel is TPU-only (2x over XLA there);
+            # sr_attention itself falls back to XLA off-TPU
+            use_pallas = jax.default_backend() == "tpu"
         if config is None:
             if version not in model_zoo:
                 raise ValueError(
