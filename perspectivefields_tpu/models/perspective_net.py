@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
@@ -71,7 +72,12 @@ class PersNet(nn.Module):
                 name="latitude_head",
             )(hl, ll)
             if cfg.latitude.loss_type == "regression":
-                lat = jnp.clip(lat, -1.0, 1.0)  # latitude_head.py:191-192
+                # straight-through clamp: forward identical to the reference's
+                # torch.clamp (latitude_head.py:191-192), but the gradient
+                # passes through — a hard clip has zero gradient outside
+                # [-1, 1] and ~99% of outputs saturate at random init, which
+                # would make the head untrainable from scratch.
+                lat = lat + jax.lax.stop_gradient(jnp.clip(lat, -1.0, 1.0) - lat)
             out["pred_latitude"] = lat
 
         if cfg.param_on:

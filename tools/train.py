@@ -51,10 +51,11 @@ def main():
         if args.tiny
         else BackboneConfig()
     )
+    head_kw = dict(embed_dim=16, fusion_dim=16) if args.tiny else {}
     cfg = ModelConfig(
         backbone=backbone,
-        gravity=GravityHeadConfig(loss_type="regression"),
-        latitude=LatitudeHeadConfig(loss_type="regression"),
+        gravity=GravityHeadConfig(loss_type="regression", **head_kw),
+        latitude=LatitudeHeadConfig(loss_type="regression", **head_kw),
         param=ParamNetConfig(
             name="ParamNetConvNextRegress",
             predict_params=("roll", "pitch", "vfov"),
