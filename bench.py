@@ -99,7 +99,7 @@ def measure(fn, params, batches, reps=3):
 def main():
     on_tpu = jax.default_backend() == "tpu"
     best = 0.0
-    configs = [(128, True), (256, True)] if on_tpu else [(2, False)]
+    configs = [(128, False), (256, False)] if on_tpu else [(2, False)]
     for batch, use_pallas in configs:
         try:
             fn, params, batches = build(batch, use_pallas)

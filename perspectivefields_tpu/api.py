@@ -89,9 +89,10 @@ class PerspectiveFields:
         device_preprocess: bool = False,
     ):
         if use_pallas is None:
-            # the fused SR-attention kernel is TPU-only (2x over XLA there);
-            # sr_attention itself falls back to XLA off-TPU
-            use_pallas = jax.default_backend() == "tpu"
+            # XLA's attention is faster than the Pallas SR-attention kernel
+            # at this model's shapes on v5e (see PERF_NOTES.md); the kernel
+            # remains available for experimentation
+            use_pallas = False
         if config is None:
             if version not in model_zoo:
                 raise ValueError(

@@ -68,9 +68,12 @@ def sr_attention(q, k, v, scale: float, force_xla: bool = False):
 
     b, n, h, d = q.shape
     m = k.shape[1]
-    # Flatten (batch, head) into the grid; tile N.
-    tn = min(n, 1024)
-    if n % tn != 0:  # ragged N: keep it simple, fall back
+    # Flatten (batch, head) into the grid; tile N with the largest divisor
+    # of n <= 1024 (n = H*W is highly composite: 6400 -> 800, 1600 -> 800).
+    tn = n
+    if n > 1024:
+        tn = next((t for t in range(1024, 0, -1) if n % t == 0), n)
+    if tn == n and n > 4096:  # pathological prime-ish N: fall back
         return _xla_sr_attention(q, k, v, scale)
 
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
