@@ -236,3 +236,19 @@ def test_persnet_output_contract():
     for k in ("pred_roll", "pred_pitch", "pred_general_vfov", "pred_rel_cx",
               "pred_rel_cy", "pred_rel_focal"):
         assert out[k].shape == (2,), k
+
+
+def test_mit_family_specs():
+    from perspectivefields_tpu.models import mit_spec
+
+    for name, dims0, depth2 in [
+        ("mitb0", 32, 2), ("mitb1", 64, 2), ("mitb2", 64, 6),
+        ("mitb3", 64, 18), ("mitb4", 64, 27), ("mitb5", 64, 40),
+    ]:
+        spec = mit_spec(name)
+        assert spec.dims[0] == dims0 and spec.depths[2] == depth2
+        assert len(spec.dims) == len(spec.depths) == len(spec.num_heads) == 4
+    import pytest
+
+    with pytest.raises(ValueError):
+        mit_spec("mitb9")
