@@ -1,6 +1,7 @@
 """Host-side utilities: visualization, drawing, profiling."""
 
 from .draw import (
+    blend_color,
     draw_from_r_p_f,
     draw_from_r_p_f_cx_cy,
     draw_horizon_line,
@@ -8,6 +9,7 @@ from .draw import (
     draw_perspective_fields,
     draw_prediction_distribution,
     draw_up_field,
+    draw_vanishing,
 )
 from .profiling import StageTimer, guard_nans, profile_to, trace
 from .visualizer import VisImage, VisualizerPerspective
@@ -19,6 +21,8 @@ __all__ = [
     "draw_from_r_p_f",
     "draw_from_r_p_f_cx_cy",
     "draw_horizon_line",
+    "draw_vanishing",
+    "blend_color",
     "draw_prediction_distribution",
     "VisImage",
     "VisualizerPerspective",
