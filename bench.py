@@ -18,7 +18,9 @@ Prints exactly one JSON line:
 
 import functools
 import json
+import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -96,17 +98,35 @@ def measure(fn, params, batches, reps=3):
     return k * b / best
 
 
+# Forward FLOPs per image (mit_b3 + 2 decode heads + ConvNeXt-T ParamNet at
+# 320x320; heads dominate). Derived in PERF_NOTES.md; used for the MFU note.
+FWD_GFLOP_PER_IMG = 205.0
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     best = 0.0
+    results = []
     configs = [(128, False), (256, False)] if on_tpu else [(2, False)]
     for batch, use_pallas in configs:
         try:
             fn, params, batches = build(batch, use_pallas)
             ips = measure(fn, params, batches, reps=3 if on_tpu else 1)
-            best = max(best, ips)
         except Exception:
+            print(f"# config batch={batch} pallas={use_pallas} FAILED:",
+                  file=sys.stderr)
+            traceback.print_exc()
             continue
+        results.append({"batch": batch, "use_pallas": use_pallas,
+                        "images_per_sec": round(ips, 2)})
+        print(f"# batch={batch} pallas={use_pallas}: {ips:.1f} img/s",
+              file=sys.stderr)
+        best = max(best, ips)
+    if not results:
+        print("bench: every config failed — no measurement", file=sys.stderr)
+        sys.exit(1)
+    mfu = best * FWD_GFLOP_PER_IMG / 1e3 / V5E_BF16_PEAK_TFLOPS
     print(
         json.dumps(
             {
@@ -114,6 +134,8 @@ def main():
                 "value": round(best, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(best / BASELINE_PER_CHIP, 4),
+                "configs": results,
+                "mfu_est": round(mfu, 4),
             }
         )
     )

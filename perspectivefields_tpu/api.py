@@ -39,6 +39,35 @@ from .ops.postprocess import postprocess_gravity, postprocess_latitude
 _WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
 
 
+def _try_download(url: str, dest: str, timeout: float = 10.0) -> bool:
+    """Download ``url`` to ``dest`` if egress exists; False on any failure.
+
+    Mirrors the reference's hub download at construction
+    (perspectivefields.py:178-192) but never raises — zero-egress
+    environments fall through to the random-init warning path.
+    """
+    import urllib.request
+
+    try:
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        tmp = dest + ".part"
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, dest)
+        return True
+    except Exception as e:  # noqa: BLE001 — any network/IO failure degrades
+        warnings.warn(f"weights download failed ({e}); falling back", stacklevel=2)
+        try:
+            os.remove(dest + ".part")
+        except OSError:
+            pass
+        return False
+
+
 class ResizeTransform:
     """API-compat resize: PIL-exact bilinear for uint8, torch-bilinear for
     float arrays (reference: perspectivefields.py:16-67)."""
@@ -114,22 +143,45 @@ class PerspectiveFields:
 
     def _init_params(self, params):
         if isinstance(params, (str, os.PathLike)):
-            return load_params(str(params))
+            return self._load_any(str(params))
         if params is not None:
             return params
-        default = os.path.join(_WEIGHTS_DIR, f"{self.version}.npz")
-        if os.path.exists(default):
-            return load_params(default)
+        # local weights: converted .npz first, then a side-loaded torch .pth
+        for cand in (
+            os.path.join(_WEIGHTS_DIR, f"{self.version}.npz"),
+            os.path.join(_WEIGHTS_DIR, f"{self.version}.pth"),
+        ):
+            if os.path.exists(cand):
+                return self._load_any(cand)
+        # auto-download like the reference (perspectivefields.py:178-192),
+        # guarded so zero-egress environments degrade gracefully
+        url = model_zoo.get(self.version, {}).get("weights_url")
+        if url:
+            dest = os.path.join(_WEIGHTS_DIR, f"{self.version}.pth")
+            if _try_download(url, dest):
+                return self._load_any(dest)
         warnings.warn(
-            f"No weights found for {self.version!r} (looked in {default}); "
-            "using random initialization. Convert the released torch "
-            "checkpoint with checkpoint/torch_convert.py for real predictions.",
+            f"No weights found for {self.version!r} (looked in {_WEIGHTS_DIR}, "
+            f"download unavailable); using random initialization — fields will "
+            "be meaningless. Side-load the released .pth (loaded directly) or "
+            "convert it with tools/convert_checkpoint.py.",
             stacklevel=2,
         )
         h, w = self.cfg.resize
         return jax.jit(self.model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32)
         )
+
+    @staticmethod
+    def _load_any(path: str):
+        """Load flax params from .npz / orbax dir, or convert a reference
+        torch .pth/.pt on the fly (reference loads .pth directly,
+        perspectivefields.py:188-192)."""
+        if path.endswith((".pth", ".pt")):
+            from .checkpoint.torch_convert import load_torch_checkpoint
+
+            return load_torch_checkpoint(path)
+        return load_params(path)
 
     @staticmethod
     def versions():
@@ -292,6 +344,8 @@ class PerspectiveFields:
             if self.param_on:
                 for key, val in raw.items():
                     if key.startswith("pred_") and val.ndim == 1:
+                        results[i][key] = np.asarray(val[i])
+                    elif key == "pred_rel_pp":  # (B, 2) principal point
                         results[i][key] = np.asarray(val[i])
                 if "pred_vfov" not in raw and "pred_general_vfov" in raw:
                     results[i]["pred_general_vfov"] = np.asarray(

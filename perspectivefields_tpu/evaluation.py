@@ -47,7 +47,7 @@ def field_metrics(
     lat = latitude_error(pred_lat_deg, gt_lat_deg)
     return {
         "up_mean_deg": ang_mean,
-        "up_median_deg": jnp.median(jnp.where(mask, ang, jnp.nan)),
+        "up_median_deg": jnp.nanmedian(jnp.where(mask, ang, jnp.nan)),
         "lat_mean_deg": jnp.mean(lat),
         "lat_median_deg": jnp.median(lat),
     }

@@ -100,20 +100,25 @@ class LowLevelEncoder(nn.Module):
 
 
 class ResidualConvUnit(nn.Module):
-    """relu -> conv3x3 -> relu -> conv3x3, residual.
+    """relu -> conv3x3 -> relu -> conv3x3, residual around the FIRST relu.
 
-    Reference: decode_head.py:224-256."""
+    Reference: decode_head.py:224-256. Note the reference's ReLU is
+    ``inplace=True`` (decode_head.py:242), so ``out = self.relu(x)`` mutates
+    ``x`` itself and the final ``out + x`` actually adds ``relu(x)`` — the
+    skip connection carries the rectified input. Verified against the real
+    reference graph in tests/test_reference_parity.py.
+    """
 
     features: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        out = nn.relu(x)
-        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1")(out)
+        skip = nn.relu(x)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1")(skip)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2")(out)
-        return out + x
+        return out + skip
 
 
 class FeatureFusionBlock(nn.Module):

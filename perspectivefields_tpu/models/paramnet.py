@@ -56,6 +56,9 @@ class ParamNetHead(nn.Module):
                     "pred_rel_focal": x[:, 2],
                     "pred_rel_cx": x[:, 3],
                     "pred_rel_cy": x[:, 4],
+                    # reference contract alias: stacked principal point
+                    # (param_network.py:55-60 emits pred_rel_pp = x[:, 3:])
+                    "pred_rel_pp": x[:, 3:5],
                 }
                 # no vfov emitted in this branch in the reference either;
                 # derive gvfov from focal for the unified output contract

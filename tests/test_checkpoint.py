@@ -109,3 +109,18 @@ def test_npz_roundtrip(tiny_params, tmp_path):
     save_params(tiny_params, p)
     loaded = load_params(p)
     _tree_equal(tiny_params["params"], loaded["params"])
+
+
+def test_pth_loads_on_the_fly(tiny_params, tmp_path):
+    """A reference-style .pth (with the {'model': ...} envelope) converts at
+    load time — the api path PerspectiveFields(params='x.pth') relies on it."""
+    torch = pytest.importorskip("torch")
+
+    sd = flax_to_torch_names(tiny_params)
+    p = str(tmp_path / "ckpt.pth")
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, p)
+
+    from perspectivefields_tpu.checkpoint.torch_convert import load_torch_checkpoint
+
+    back = load_torch_checkpoint(p)
+    _tree_equal(tiny_params["params"], back["params"])

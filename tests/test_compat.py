@@ -109,3 +109,24 @@ def test_field_metrics_shapes():
     m = field_metrics(up, up, lat, lat + 1.0)
     assert float(m["up_mean_deg"]) < 1e-3
     np.testing.assert_allclose(float(m["lat_mean_deg"]), 1.0, atol=1e-5)
+
+
+def test_field_metrics_partial_mask():
+    """Median/mean must skip invalid (zero-vector) GT pixels, not go NaN."""
+    rng = np.random.default_rng(4)
+    gt = rng.normal(size=(1, 8, 8, 2)).astype(np.float32)
+    gt /= np.linalg.norm(gt, axis=-1, keepdims=True)
+    gt[0, :4] = 0.0  # half the pixels invalid
+    pred = np.roll(gt, 1, axis=-1)  # some nonzero error on valid pixels
+    lat = rng.uniform(-80, 80, size=(1, 8, 8)).astype(np.float32)
+    m = field_metrics(pred, gt, lat, lat)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} is not finite"
+    # median over valid pixels only
+    from perspectivefields_tpu.evaluation import up_angular_error
+
+    ang = np.asarray(up_angular_error(pred, gt))
+    valid = np.linalg.norm(gt, axis=-1) > 1e-8
+    np.testing.assert_allclose(
+        float(m["up_median_deg"]), np.median(ang[valid]), rtol=1e-5
+    )

@@ -12,19 +12,21 @@ import os
 import numpy as np
 import pytest
 
-WEIGHTS = os.path.join(
-    os.path.dirname(__file__),
-    "..",
-    "perspectivefields_tpu",
-    "weights",
-    "Paramnet-360Cities-edina-centered.npz",
+_WDIR = os.path.join(
+    os.path.dirname(__file__), "..", "perspectivefields_tpu", "weights"
 )
+# auto-runs whenever weights are present in ANY loadable form: converted .npz
+# or the released .pth side-loaded as-is (api converts on the fly)
+WEIGHTS_CANDIDATES = [
+    os.path.join(_WDIR, "Paramnet-360Cities-edina-centered" + ext)
+    for ext in (".npz", ".pth")
+]
 IMAGE = "/root/reference/assets/imgs/cityscape.jpg"
 
 
 @pytest.mark.skipif(
-    not (os.path.exists(WEIGHTS) and os.path.exists(IMAGE)),
-    reason="converted checkpoint / asset image not available (no network egress)",
+    not (any(os.path.exists(w) for w in WEIGHTS_CANDIDATES) and os.path.exists(IMAGE)),
+    reason="weights (.npz/.pth) / asset image not available (no network egress)",
 )
 def test_demo_golden_tuple():
     import cv2

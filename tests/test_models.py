@@ -178,11 +178,13 @@ def test_residual_conv_unit_matches_torch():
 
     p = params["params"]
     inp = _nchw(x)
-    y = F.relu(inp)
-    y = F.conv2d(y, _conv_w(p["conv1"]["kernel"]), _t(p["conv1"]["bias"]), padding=1)
+    # the reference RCU's inplace ReLU (decode_head.py:242) rectifies the
+    # skip input too: residual = out + relu(x), not out + x
+    skip = F.relu(inp)
+    y = F.conv2d(skip, _conv_w(p["conv1"]["kernel"]), _t(p["conv1"]["bias"]), padding=1)
     y = F.relu(y)
     y = F.conv2d(y, _conv_w(p["conv2"]["kernel"]), _t(p["conv2"]["bias"]), padding=1)
-    want = (y + inp).permute(0, 2, 3, 1).numpy()
+    want = (y + skip).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, atol=ATOL)
 
 
