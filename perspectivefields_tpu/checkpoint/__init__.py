@@ -5,7 +5,7 @@ from .torch_convert import (
     flax_to_torch_names,
     load_torch_checkpoint,
 )
-from .io import load_params, save_params
+from .io import load_params, restore_train_state, save_params, save_train_state
 
 __all__ = [
     "convert_torch_state_dict",
@@ -13,4 +13,6 @@ __all__ = [
     "load_torch_checkpoint",
     "save_params",
     "load_params",
+    "save_train_state",
+    "restore_train_state",
 ]

@@ -54,3 +54,38 @@ def load_params(path: str) -> dict:
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path))
+
+
+def save_train_state(state, path: str):
+    """Persist a full TrainState (params + optimizer state + step) to an
+    orbax directory, for training resume. Synchronous (returns when durable).
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, template_state):
+    """Restore a TrainState saved by save_train_state.
+
+    template_state: a freshly-initialized TrainState with the same model /
+    optimizer config — provides the pytree structure (optax states are
+    namedtuple trees) and shardings for the restored arrays.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    from ..train.train_step import TrainState
+
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "params": template_state.params,
+        "opt_state": template_state.opt_state,
+        "step": template_state.step,
+    }
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    tree = ckptr.restore(os.path.abspath(path), abstract)
+    return TrainState(tree["params"], tree["opt_state"], tree["step"])

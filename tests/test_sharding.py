@@ -123,3 +123,47 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_orbax_save_restore_resume(tmp_path):
+    """Save mid-training, restore into a fresh process-state, and verify the
+    resumed trajectory matches the uninterrupted one exactly."""
+    from perspectivefields_tpu.checkpoint import restore_train_state, save_train_state
+    from perspectivefields_tpu.train import create_train_state, make_train_step
+
+    cfg = tiny_cfg()
+    model = PersNet(cfg)
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32),
+        "gt_gravity": jnp.asarray(rng.normal(size=(2, 64, 64, 2)), jnp.float32),
+        "gt_latitude": jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 1)), jnp.float32),
+    }
+
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), sample_batchless_shape=(64, 64, 3)
+    )
+    step = make_train_step(model, tx, cfg)
+
+    # uninterrupted: 2 steps, checkpoint, 1 more step
+    state = step(state, batch)[0]
+    state = step(state, batch)[0]
+    save_train_state(state, str(tmp_path / "ckpt"))
+    state, metrics_a = step(state, batch)
+    assert int(state.step) == 3
+
+    # resumed: fresh template, restore, 1 step — identical trajectory
+    template, _ = create_train_state(
+        model, jax.random.PRNGKey(42), sample_batchless_shape=(64, 64, 3)
+    )
+    restored = restore_train_state(str(tmp_path / "ckpt"), template)
+    assert int(restored.step) == 2
+    resumed, metrics_b = step(restored, batch)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-6
+    )
+    a_leaves = jax.tree.leaves(state.params)
+    b_leaves = jax.tree.leaves(resumed.params)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
