@@ -162,6 +162,15 @@ class SegFormerDecoder(nn.Module):
     # ones-map conv (see _fused_embed_proc). Parameter tree is identical in
     # both modes, so converted reference checkpoints work unchanged.
     fuse_embed: bool = True
+    # Phase-packed subpixel tail: compose the 2x bilinear upsample with
+    # conv_fuse_conv1 into four per-phase 3x3 convs at half resolution
+    # (output channels 4x32, MXU-friendly), apply linear_pred per phase, and
+    # depth-to-space. Same FLOPs as the plain conv1 but no 320^2x64
+    # intermediate in HBM and 4x better MXU N-utilization (measured 22.7 ->
+    # ~7 ms per head at B=64 bf16, tools/bench_dualhead4.py). Exact incl.
+    # borders: the 2px frame (where bilinear edge-clamp meets conv zero-pad)
+    # is recomputed with the plain path on thin slabs and pasted over.
+    fuse_tail: bool = True
 
     def _fused_embed_proc(self, c, emb: _LinearParams, proc: _ConvParams):
         compute = self.dtype
@@ -257,9 +266,85 @@ class SegFormerDecoder(nn.Module):
             + cf0.bias.astype(jnp.float32)
         )
         x = nn.relu(x).astype(self.dtype)
+
+        # tail: 2x bilinear upsample -> conv3x3(64->32) -> relu -> 1x1 pred
+        # (gravity_head.py:170-175). Param tree identical in both modes.
+        cf1 = _ConvParams(3, 3, 64, 32, name="conv_fuse_conv1")
+        pred = _ConvParams(1, 1, 32, self.out_channels, name="linear_pred")
+        if self.fuse_tail:
+            return self._fused_tail(x, cf1, pred)
+        return self._plain_tail(x, cf1, pred)
+
+    def _plain_tail(self, x, cf1: _ConvParams, pred: _ConvParams):
+        """Reference dataflow: materialized 2x upsample then convs."""
         h, w = x.shape[-3], x.shape[-2]
-        x = resize_bilinear(x, 2 * h, 2 * w, "torch_bilinear")
-        x = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="conv_fuse_conv1")(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="linear_pred")(x)
-        return x
+        up = resize_bilinear(x, 2 * h, 2 * w, "torch_bilinear")
+        y = lax.conv_general_dilated(
+            up.astype(self.dtype), cf1.kernel.astype(self.dtype), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + cf1.bias.astype(self.dtype)
+        y = nn.relu(y)
+        y = lax.conv_general_dilated(
+            y, pred.kernel.astype(self.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + pred.bias.astype(self.dtype)
+        return y
+
+    # per-dim phase weights: row = conv tap dp in (-1,0,1), col = input offset
+    # a in (-1,0,1). Derived from align_corners=False 2x bilinear: output row
+    # 2i+di+dp is a 2-tap combination of input rows; collecting terms per
+    # input offset gives these matrices (see tests/test_head_fusion.py).
+    _W_PHASE0 = ((0.75, 0.25, 0.0), (0.25, 0.75, 0.0), (0.0, 0.75, 0.25))
+    _W_PHASE1 = ((0.25, 0.75, 0.0), (0.0, 0.75, 0.25), (0.0, 0.25, 0.75))
+
+    def _fused_tail(self, x, cf1: _ConvParams, pred: _ConvParams):
+        """upsample+conv1 composed into 4 phase convs at half resolution.
+
+        y[2i+di, 2j+dj] = (x * K[di,dj])[i, j] with K[di,dj] the composition
+        of the bilinear phase weights and the conv1 kernel — exact in the
+        interior; the 2px output frame (bilinear edge clamping + conv zero
+        padding interact there) is recomputed with the plain path on 3px
+        slabs and pasted over.
+        """
+        compute = self.dtype
+        w0 = jnp.asarray(self._W_PHASE0, jnp.float32)
+        w1 = jnp.asarray(self._W_PHASE1, jnp.float32)
+        k1 = cf1.kernel.astype(jnp.float32)  # (3, 3, 64, 32)
+        # (3,3,64,32) per phase -> stack phases on out channels: (3,3,64,128)
+        kphase = jnp.concatenate(
+            [
+                jnp.einsum("pa,qb,pqio->abio", wv, wh, k1, precision="highest")
+                for wv in (w0, w1)
+                for wh in (w0, w1)
+            ],
+            axis=-1,
+        ).astype(compute)
+        z = lax.conv_general_dilated(
+            x.astype(compute), kphase, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.tile(cf1.bias, 4).astype(compute)
+        z = nn.relu(z)
+        b, h, w, _ = z.shape
+        zz = z.reshape(b, h, w, 4, 32)
+        y4 = (
+            jnp.einsum("bhwpi,io->bhwpo", zz, pred.kernel[0, 0].astype(compute))
+            + pred.bias.astype(compute)
+        )
+        c = self.out_channels
+        # depth-to-space: phase p = 2*di + dj -> pixel (2i+di, 2j+dj)
+        y = (
+            y4.reshape(b, h, w, 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, 2 * h, 2 * w, c)
+        )
+        # exact 2px frame via plain path on thin slabs (full-width rows with
+        # exact horizontal clamping, full-height cols with exact vertical)
+        top = self._plain_tail(x[:, :3], cf1, pred)[:, :2]
+        bot = self._plain_tail(x[:, -3:], cf1, pred)[:, -2:]
+        left = self._plain_tail(x[:, :, :3], cf1, pred)[:, :, :2]
+        right = self._plain_tail(x[:, :, -3:], cf1, pred)[:, :, -2:]
+        y = y.at[:, :2].set(top)
+        y = y.at[:, -2:].set(bot)
+        y = y.at[:, :, :2].set(left)
+        y = y.at[:, :, -2:].set(right)
+        return y

@@ -82,6 +82,89 @@ class VisualizerPerspective:
         )
         return self.output
 
+    def draw_text(
+        self,
+        text,
+        position,
+        *,
+        font_size=None,
+        color="g",
+        horizontal_alignment="center",
+        rotation=0,
+    ) -> VisImage:
+        """Label text on a dark box (reference: visualizer.py:137-185)."""
+        import matplotlib.colors as mplc
+
+        if not font_size:
+            font_size = self._default_font_size
+        # text sits on a dark background: brighten dark colors
+        color = np.maximum(list(mplc.to_rgb(color)), 0.2)
+        color[np.argmax(color)] = max(0.8, np.max(color))
+        x, y = position
+        self.output.ax.text(
+            x,
+            y,
+            text,
+            size=font_size * self.output.scale,
+            family="sans-serif",
+            bbox={"facecolor": "black", "alpha": 0.8, "pad": 0.7, "edgecolor": "none"},
+            verticalalignment="top",
+            horizontalalignment=horizontal_alignment,
+            color=color,
+            zorder=10,
+            rotation=rotation,
+        )
+        return self.output
+
+    def draw_box(self, box_coord, alpha=0.5, edge_color="g", line_style="-") -> VisImage:
+        """Axis-aligned box (x0, y0, x1, y1) in pixel coords."""
+        import matplotlib as mpl
+
+        x0, y0, x1, y1 = box_coord
+        linewidth = max(self._default_font_size / 4, 1)
+        self.output.ax.add_patch(
+            mpl.patches.Rectangle(
+                (x0, y0),
+                x1 - x0,
+                y1 - y0,
+                fill=False,
+                edgecolor=edge_color,
+                linewidth=linewidth * self.output.scale,
+                alpha=alpha,
+                linestyle=line_style,
+            )
+        )
+        return self.output
+
+    def draw_circle(self, circle_coord, color, radius=3) -> VisImage:
+        import matplotlib as mpl
+
+        x, y = circle_coord
+        self.output.ax.add_patch(
+            mpl.patches.Circle(circle_coord, radius=radius, fill=True, color=color)
+        )
+        return self.output
+
+    def draw_line(self, x_data, y_data, color, linestyle="-", linewidth=None) -> VisImage:
+        import matplotlib as mpl
+
+        if linewidth is None:
+            linewidth = self._default_font_size / 3
+        linewidth = max(linewidth, 1)
+        self.output.ax.add_line(
+            mpl.lines.Line2D(
+                x_data,
+                y_data,
+                linewidth=linewidth * self.output.scale,
+                color=color,
+                linestyle=linestyle,
+            )
+        )
+        return self.output
+
+    def get_output(self) -> VisImage:
+        return self.output
+
     def draw_lati(
         self,
         latimap: np.ndarray,

@@ -85,3 +85,16 @@ def test_visualizer_save(tmp_path):
     p = tmp_path / "vis.png"
     out.save(str(p))
     assert p.exists() and p.stat().st_size > 0
+
+
+def test_visualizer_primitives():
+    """draw_text/box/circle/line render and change pixels."""
+    img = _img()
+    vis = VisualizerPerspective(img)
+    vis.draw_text("roll 4.5", (10, 10), color="w")
+    vis.draw_box((4, 4, 28, 28), edge_color="r")
+    vis.draw_circle((16, 16), color="b", radius=4)
+    out = vis.draw_line([0, 31], [31, 0], color="y")
+    rendered = out.get_image()
+    assert rendered.shape[2] == 3
+    assert not np.array_equal(rendered, vis.img)  # something was drawn

@@ -33,6 +33,33 @@ def test_fused_embed_proc_matches_plain():
     )
 
 
+def test_fused_tail_matches_plain():
+    """Phase-packed subpixel tail == materialized upsample+conv path,
+    including the 2px border frame (bilinear clamp + conv zero-pad)."""
+    rng = np.random.default_rng(2)
+    hl = [
+        jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32),
+        jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32),
+        jnp.asarray(rng.normal(size=(2, 4, 4, 24)), jnp.float32),
+        jnp.asarray(rng.normal(size=(2, 2, 2, 32)), jnp.float32),
+    ]
+    ll = jnp.asarray(rng.normal(size=(2, 32, 32, 64)), jnp.float32)
+
+    plain = SegFormerDecoder(3, embed_dim=48, fusion_dim=16, fuse_tail=False)
+    fused = SegFormerDecoder(3, embed_dim=48, fusion_dim=16, fuse_tail=True)
+    params = jax.jit(plain.init)(jax.random.PRNGKey(3), hl, ll)
+    import jax.tree_util as jtu
+
+    p2 = jax.jit(fused.init)(jax.random.PRNGKey(3), hl, ll)
+    assert jtu.tree_structure(params) == jtu.tree_structure(p2)
+
+    out_plain = np.asarray(jax.jit(plain.apply)(params, hl, ll))
+    out_fused = np.asarray(jax.jit(fused.apply)(params, hl, ll))
+    assert out_plain.shape == out_fused.shape == (2, 64, 64, 3)
+    # borders exact too
+    np.testing.assert_allclose(out_fused, out_plain, atol=5e-5)
+
+
 def test_split_conv0_matches_concat_composition():
     """The decoder's split conv_fuse_conv0 equals conv over the concat."""
     import flax.linen as nn

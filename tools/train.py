@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="tiny backbone (smoke)")
     ap.add_argument("--out", default=None, help="save params npz")
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument(
+        "--ckpt-dir", default=None, help="orbax dir for save/resume of the full TrainState"
+    )
+    ap.add_argument("--ckpt-every", type=int, default=100)
     args = ap.parse_args()
 
     from perspectivefields_tpu.config import (
@@ -76,6 +80,14 @@ def main():
     )
     step_fn = make_train_step(model, tx, cfg, mesh=mesh)
 
+    start = 0
+    if args.ckpt_dir and os.path.isdir(args.ckpt_dir):
+        from perspectivefields_tpu.checkpoint import restore_train_state
+
+        state = restore_train_state(args.ckpt_dir, state)
+        start = int(state.step)
+        print(f"resumed from {args.ckpt_dir} at step {start}")
+
     # normalize images like inference does
     mean = jnp.asarray(cfg.pixel_mean)
     it = data_iterator(
@@ -83,15 +95,20 @@ def main():
     )
 
     t0 = time.time()
-    for i in range(args.steps):
+    for i in range(start, args.steps):
         batch = next(it)
         batch = dict(batch, image=(batch["image"] - mean))
         batch.pop("cams")
         state, metrics = step_fn(state, batch)
-        if (i + 1) % args.log_every == 0 or i == 0:
+        if (i + 1) % args.log_every == 0 or i == start:
             loss = float(metrics["loss"])
-            rate = args.batch * (i + 1) / (time.time() - t0)
-            print(f"step {i + 1:5d}  loss {loss:.4f}  ({rate:.1f} img/s)")
+            rate = args.batch * (i + 1 - start) / (time.time() - t0)
+            print(f"step {i + 1:5d}  loss {loss:.4f}  ({rate:.1f} img/s)", flush=True)
+        if args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
+            from perspectivefields_tpu.checkpoint import save_train_state
+
+            save_train_state(state, args.ckpt_dir)
+            print(f"checkpointed step {i + 1} -> {args.ckpt_dir}", flush=True)
 
     if args.out:
         from perspectivefields_tpu.checkpoint.io import save_params
