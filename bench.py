@@ -66,9 +66,12 @@ def build(batch: int, use_pallas: bool):
 
         def body(carry, images):
             up, lat, roll, pitch, vfov = pipeline(params, images)
+            # FULL sums: a strided-sample checksum would let XLA narrow the
+            # postprocess resize matmuls to the sampled rows/cols and skip
+            # most of the work being claimed
             s = (
-                jnp.sum(up[:, ::97, ::97]).astype(jnp.float32)
-                + jnp.sum(lat[:, ::97, ::97]).astype(jnp.float32)
+                jnp.sum(up.astype(jnp.float32))
+                + jnp.sum(lat.astype(jnp.float32))
                 + jnp.sum(roll + pitch + vfov).astype(jnp.float32)
             )
             return carry + s, ()

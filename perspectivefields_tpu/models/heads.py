@@ -253,19 +253,21 @@ class SegFormerDecoder(nn.Module):
         )
         k0 = cf0.kernel.astype(self.dtype)
 
+        # NOTE: no preferred_element_type=f32 here — a widened output dtype
+        # breaks the conv transpose rule under grad (f32 cotangent vs bf16
+        # operands). The two partial sums round in compute dtype instead.
         def _conv(x, k):
             return lax.conv_general_dilated(
                 x.astype(self.dtype), k, (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
             )
 
         x = (
             _conv(_c1, k0[:, :, : self.fusion_dim, :])
             + _conv(ll_features, k0[:, :, self.fusion_dim :, :])
-            + cf0.bias.astype(jnp.float32)
+            + cf0.bias.astype(self.dtype)
         )
-        x = nn.relu(x).astype(self.dtype)
+        x = nn.relu(x)
 
         # tail: 2x bilinear upsample -> conv3x3(64->32) -> relu -> 1x1 pred
         # (gravity_head.py:170-175). Param tree identical in both modes.

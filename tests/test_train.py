@@ -75,6 +75,46 @@ def test_gravity_loss_masks_invalid():
     assert float(losses2["gravity-l2-loss"]) < 1e-10
 
 
+def test_bf16_train_step_runs():
+    """Backward through the bf16 model (regression: preferred_element_type
+    widening in split-conv0 broke the conv transpose rule under grad)."""
+    import jax
+    import jax.numpy as jnp
+
+    from perspectivefields_tpu.config import (
+        BackboneConfig,
+        GravityHeadConfig,
+        LatitudeHeadConfig,
+        ModelConfig,
+        ParamNetConfig,
+    )
+    from perspectivefields_tpu.models import PersNet
+    from perspectivefields_tpu.train import create_train_state, make_train_step
+
+    cfg = ModelConfig(
+        backbone=BackboneConfig(dims=(8, 16, 24, 32), depths=(1, 1, 1, 1), num_heads=(1, 2, 3, 4)),
+        gravity=GravityHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        latitude=LatitudeHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        param=ParamNetConfig(
+            name="ParamNetConvNextRegress", predict_params=("roll", "pitch", "vfov"), input_size=32
+        ),
+        recover_rpf=True,
+        resize=(64, 64),
+    )
+    model = PersNet(cfg, dtype=jnp.bfloat16)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), sample_batchless_shape=(64, 64, 3))
+    step = make_train_step(model, tx, cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32),
+        "gt_gravity": jnp.asarray(rng.normal(size=(2, 64, 64, 2)), jnp.float32),
+        "gt_latitude": jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 1)), jnp.float32),
+        "gt_params": jnp.asarray(rng.normal(size=(2, 3)) * 0.3, jnp.float32),
+    }
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_latitude_loss_zero_at_perfect():
     rng = np.random.default_rng(3)
     gt = rng.uniform(-1, 1, size=(1, 16, 16, 1)).astype(np.float32)
