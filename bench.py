@@ -111,7 +111,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     best = 0.0
     results = []
-    configs = [(128, False), (256, False)] if on_tpu else [(2, False)]
+    configs = [(128, False), (64, False)] if on_tpu else [(2, False)]
     for batch, use_pallas in configs:
         try:
             fn, params, batches = build(batch, use_pallas)
