@@ -19,13 +19,88 @@ import jax
 import jax.numpy as jnp
 
 
+class _Affine(nn.Module):
+    """Parameter holder matching nn.LayerNorm's tree (scale/bias)."""
+
+    features: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+
+class _ConvHolder(nn.Module):
+    """Parameter holder matching nn.Conv's tree (kernel/bias)."""
+
+    kh: int
+    kw: int
+    features_in: int
+    features_out: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kh, self.kw, self.features_in, self.features_out),
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+
+
+class _DenseHolder(nn.Module):
+    """Parameter holder matching nn.Dense's tree (kernel/bias)."""
+
+    features_in: int
+    features_out: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    # Run the whole block as one VMEM-resident Pallas kernel (7x7 dw conv +
+    # LN + MLP + layer scale + residual; kernels/convnext_block.py). Same
+    # parameter tree as the unfused path, so converted checkpoints work
+    # unchanged. Inference-only (no VJP); training uses the unfused path.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fused:
+            from ..kernels.convnext_block import convnext_block_fused
+
+            dim = self.dim
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init),
+                (dim,),
+                jnp.float32,
+            )
+            # param holders with trees identical to the unfused submodules
+            dwh = _ConvHolder(7, 7, 1, dim, name="dwconv")
+            ln = _Affine(dim, name="norm")
+            pw1 = _DenseHolder(dim, 4 * dim, name="pwconv1")
+            pw2 = _DenseHolder(4 * dim, dim, name="pwconv2")
+            cdt = self.dtype
+            return convnext_block_fused(
+                x.astype(cdt),
+                dwh.kernel.astype(cdt),
+                dwh.bias,
+                ln.scale,
+                ln.bias,
+                pw1.kernel.astype(cdt),
+                pw1.bias,
+                pw2.kernel.astype(cdt),
+                pw2.bias,
+                gamma,
+            )
         inp = x
         x = nn.Conv(
             self.dim,
@@ -60,6 +135,7 @@ class ConvNeXt(nn.Module):
     depths: Tuple[int, ...] = (3, 3, 9, 3)
     dims: Tuple[int, ...] = (96, 192, 384, 768)
     dtype: jnp.dtype = jnp.float32
+    fused_blocks: bool = False  # inference-only fused block kernel
 
     @nn.compact
     def __call__(self, x):
@@ -87,7 +163,12 @@ class ConvNeXt(nn.Module):
                     name=f"downsample{i}_conv",
                 )(x)
             for j in range(self.depths[i]):
-                x = ConvNeXtBlock(self.dims[i], dtype=self.dtype, name=f"stage{i}_{j}")(x)
+                x = ConvNeXtBlock(
+                    self.dims[i],
+                    dtype=self.dtype,
+                    fused=self.fused_blocks,
+                    name=f"stage{i}_{j}",
+                )(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool (N, C)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if self.num_classes != 0:

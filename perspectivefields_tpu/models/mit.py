@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..config import BackboneConfig
 from ..kernels.sr_attention import sr_attention
+from .convnext import _ConvHolder, _DenseHolder
 
 
 def mit_spec(name: str) -> BackboneConfig:
@@ -76,9 +77,29 @@ class MixFFN(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    # One VMEM-resident Pallas kernel for the whole FFN (kernels/mixffn.py):
+    # the 4x-wide hidden tensor never touches HBM. Same param tree, so the
+    # same weights serve both paths. Inference-only (no VJP).
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fused:
+            from ..kernels.mixffn import mixffn_fused
+
+            fc1 = _DenseHolder(x.shape[-1], self.hidden_dim, name="fc1")
+            dw = _ConvHolder(3, 3, 1, self.hidden_dim, name="dwconv")
+            fc2 = _DenseHolder(self.hidden_dim, self.out_dim, name="fc2")
+            cdt = self.dtype
+            return mixffn_fused(
+                x.astype(cdt),
+                fc1.kernel.astype(cdt),
+                fc1.bias,
+                dw.kernel.astype(cdt),
+                dw.bias,
+                fc2.kernel.astype(cdt),
+                fc2.bias,
+            )
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.Conv(
             self.hidden_dim,
@@ -164,6 +185,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fuse_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -179,7 +201,7 @@ class Block(nn.Module):
         )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x))
         x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic)
         ffn_out = MixFFN(
-            self.dim * self.mlp_ratio, self.dim, self.dtype, name="mlp"
+            self.dim * self.mlp_ratio, self.dim, self.dtype, self.fuse_ffn, name="mlp"
         )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x))
         x = x + DropPath(self.drop_path, name="drop_path2")(ffn_out, deterministic)
         return x
@@ -219,6 +241,7 @@ class MixViT(nn.Module):
     spec: BackboneConfig = BackboneConfig()
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fuse_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, ...]:
@@ -251,6 +274,7 @@ class MixViT(nn.Module):
                     drop_path=dpr[cur + i],
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
+                    fuse_ffn=self.fuse_ffn,
                     name=f"block{s + 1}_{i}",
                 )(x, deterministic)
             x = nn.LayerNorm(epsilon=spec.ln_eps, dtype=self.dtype, name=f"norm{s + 1}")(x)

@@ -34,6 +34,9 @@ class ParamNetHead(nn.Module):
     cfg: ParamNetConfig
     recover_pp: bool = False
     dtype: jnp.dtype = jnp.float32
+    # Fused ConvNeXt-block Pallas kernel (inference-only, no VJP); see
+    # kernels/convnext_block.py. Param tree identical either way.
+    fused_blocks: bool = False
 
     @nn.compact
     def __call__(
@@ -48,7 +51,12 @@ class ParamNetHead(nn.Module):
         cfg = self.cfg
 
         if cfg.name == "ParamNet":
-            x = ConvNeXt(num_classes=5, dtype=self.dtype, name="backbone")(field)
+            x = ConvNeXt(
+                num_classes=5,
+                dtype=self.dtype,
+                fused_blocks=self.fused_blocks,
+                name="backbone",
+            )(field)
             if self.recover_pp:
                 param = {
                     "pred_roll": x[:, 0] * 90.0,
@@ -77,9 +85,12 @@ class ParamNetHead(nn.Module):
                 }
         elif cfg.name == "ParamNetConvNextRegress":
             small = resize_nearest(field, cfg.input_size, cfg.input_size)
-            x = ConvNeXt(num_classes=cfg.num_outputs, dtype=self.dtype, name="backbone")(
-                small
-            )
+            x = ConvNeXt(
+                num_classes=cfg.num_outputs,
+                dtype=self.dtype,
+                fused_blocks=self.fused_blocks,
+                name="backbone",
+            )(small)
             param = {}
             for idx, key in enumerate(cfg.predict_params):
                 param["pred_" + key] = x[:, idx] * PARAM_FACTORS[key]

@@ -28,6 +28,11 @@ class PersNet(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # Fused ConvNeXt-block kernel in the ParamNet trunk (inference-only fast
+    # path; the param tree is identical, so the same weights serve both).
+    fuse_convnext: bool = False
+    # Fused MixFFN kernel in the backbone (inference-only; same param tree).
+    fuse_ffn: bool = False
 
     @nn.compact
     def __call__(
@@ -42,9 +47,9 @@ class PersNet(nn.Module):
           version has a ParamNet.
         """
         cfg = self.cfg
-        hl = MixViT(cfg.backbone, self.dtype, self.use_pallas, name="backbone")(
-            images, deterministic
-        )
+        hl = MixViT(
+            cfg.backbone, self.dtype, self.use_pallas, self.fuse_ffn, name="backbone"
+        )(images, deterministic)
         ll = LowLevelEncoder(dtype=self.dtype, name="ll_enc")(images)
 
         out: Dict[str, jnp.ndarray] = {}
@@ -82,7 +87,11 @@ class PersNet(nn.Module):
 
         if cfg.param_on:
             param = ParamNetHead(
-                cfg.param, cfg.recover_pp, self.dtype, name="param_net"
+                cfg.param,
+                cfg.recover_pp,
+                self.dtype,
+                fused_blocks=self.fuse_convnext,
+                name="param_net",
             )(out["pred_gravity"].astype(self.dtype), out["pred_latitude"].astype(self.dtype))
             out.update(param)
         return out

@@ -176,10 +176,15 @@ def resize_bilinear(
     jax precision to override.
     """
     h, w = x.shape[-3], x.shape[-2]
-    if method == "torch_bilinear" and out_h == 2 * h and out_w == 2 * w:
+    # The phase fast paths are elementwise (VPU); with few channels the
+    # channels-minor layout wastes most VPU lanes and the MXU matmul wins
+    # (measured: 640->320 C=3 preprocess got SLOWER via phases). Gate on C.
+    wide = x.shape[-1] >= 8
+    if wide and method == "torch_bilinear" and out_h == 2 * h and out_w == 2 * w:
         return _up2x_axis_torch(_up2x_axis_torch(x, -3), -2)
     if (
-        method == "pil_bilinear"
+        wide
+        and method == "pil_bilinear"
         and 2 * out_h == h
         and 2 * out_w == w
         and out_h >= 2

@@ -96,7 +96,9 @@ def test_batch_consistent_with_single(tiny_api):
         atol=1e-5,
     )
     np.testing.assert_allclose(
-        float(single["pred_roll"]), float(batch[0]["pred_roll"]), atol=1e-5
+        # XLA layout/fusion choices vary with batch size, so per-image
+        # results agree only to f32 reassociation noise (degrees scale).
+        float(single["pred_roll"]), float(batch[0]["pred_roll"]), atol=1e-3
     )
 
 

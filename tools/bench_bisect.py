@@ -1,8 +1,10 @@
 """Bisect the e2e bench pipeline: time cumulative prefixes in one process.
 
-Explains the gap between the sum of component times (profile_components.py)
+Explains gaps between the sum of component times (profile_components.py)
 and the e2e bench: each prefix is timed with the same K-loop-in-jit
-methodology at bench shapes (B=128, bf16, 640px in/out).
+methodology at bench shapes (B=128, bf16, 640px in/out). Params are passed
+as arguments (closure capture would bake them as HLO constants and blow the
+remote-compile request size).
 """
 
 import os
@@ -41,6 +43,10 @@ def main():
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3), jnp.float32)
     )
+    bb = MixViT(cfg.backbone, jnp.bfloat16, False)
+    pbb = {"params": params["params"]["backbone"]}
+    lle = LowLevelEncoder(dtype=jnp.bfloat16)
+    pll = {"params": params["params"]["ll_enc"]}
 
     def pre(images_u8):
         x = resize_bilinear(images_u8.astype(jnp.bfloat16), 320, 320, "pil_bilinear")
@@ -55,59 +61,49 @@ def main():
         )(out["pred_latitude"].astype(jnp.bfloat16))
         return up, la
 
-    stages = {}
-    stages["1_pre"] = lambda u8: jnp.sum(pre(u8).astype(jnp.float32))
+    def fsum(t):
+        return jnp.sum(jnp.asarray(t, jnp.float32))
 
-    bb = MixViT(cfg.backbone, jnp.bfloat16, False)
-    pbb = {"params": params["params"]["backbone"]}
-    lle = LowLevelEncoder(dtype=jnp.bfloat16)
-    pll = {"params": params["params"]["ll_enc"]}
-
-    def s2(u8):
-        x = pre(u8)
-        hl = bb.apply(pbb, x, True)
-        ll = lle.apply(pll, x)
-        return sum(jnp.sum(h.astype(jnp.float32)) for h in hl) + jnp.sum(
-            ll.astype(jnp.float32)
+    stages = {
+        "1_pre": lambda p, u8: fsum(pre(u8)),
+        "2_pre+ll": lambda p, u8: fsum(lle.apply(p[1], pre(u8))),
+        "3_pre+backbone": lambda p, u8: sum(
+            fsum(h) for h in bb.apply(p[0], pre(u8), True)
+        ),
+        "4_pre+backbone+ll": lambda p, u8: sum(
+            fsum(h) for h in bb.apply(p[0], pre(u8), True)
         )
+        + fsum(lle.apply(p[1], pre(u8))),
+        "5_pre+full_model": lambda p, u8: (
+            lambda out: fsum(out["pred_gravity"])
+            + fsum(out["pred_latitude"])
+            + fsum(out["pred_roll"])
+        )(model.apply(p[2], pre(u8), deterministic=True)),
+        "6_full_e2e": lambda p, u8: (
+            lambda out: (lambda ul: fsum(ul[0]) + fsum(ul[1]))(post(out))
+            + fsum(out["pred_roll"])
+        )(model.apply(p[2], pre(u8), deterministic=True)),
+    }
 
-    stages["2_pre+backbone+ll"] = s2
-
-    def s3(u8):
-        x = pre(u8)
-        out = model.apply(params, x, deterministic=True)
-        return jnp.sum(out["pred_gravity"].astype(jnp.float32)) + jnp.sum(
-            out["pred_latitude"].astype(jnp.float32)
-        ) + jnp.sum(out["pred_roll"])
-
-    stages["3_pre+full_model"] = s3
-
-    def s4(u8):
-        x = pre(u8)
-        out = model.apply(params, x, deterministic=True)
-        up, la = post(out)
-        return (
-            jnp.sum(up.astype(jnp.float32))
-            + jnp.sum(la.astype(jnp.float32))
-            + jnp.sum(out["pred_roll"])
-        )
-
-    stages["4_full_e2e"] = s4
-
+    allp = (pbb, pll, params)
     for name, fn in stages.items():
-        def kfn(u8, fn=fn):
+        def kfn(p, u8, fn=fn):
             def body(c, _):
-                return c + fn(u8 + c.astype(jnp.uint8)), ()
+                return c + fn(p, u8 + c.astype(jnp.uint8)), ()
 
             o, _ = lax.scan(body, jnp.float32(0.0), None, length=K)
             return o
 
         f = jax.jit(kfn)
-        float(f(img))
+        try:
+            float(f(allp, img))
+        except Exception as e:  # keep bisecting even if one stage fails
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            float(f(img))
+            float(f(allp, img))
             best = min(best, time.perf_counter() - t0)
         print(f"{name}: {best / K * 1000:.2f} ms/batch "
               f"({B / (best / K):.0f} img/s)", flush=True)
