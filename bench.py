@@ -33,7 +33,7 @@ BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips (BASELINE.md north star)
 def build(batch: int, use_pallas: bool):
     from perspectivefields_tpu.config import model_zoo
     from perspectivefields_tpu.models import PersNet
-    from perspectivefields_tpu.ops.image import resize_bilinear
+    from perspectivefields_tpu.ops.image import make_fused_preprocess
     from perspectivefields_tpu.ops.postprocess import (
         postprocess_gravity,
         postprocess_latitude,
@@ -41,13 +41,13 @@ def build(batch: int, use_pallas: bool):
 
     cfg = model_zoo["Paramnet-360Cities-edina-centered"]["config"]
     model = PersNet(cfg, dtype=jnp.bfloat16, use_pallas=use_pallas)
-    mean = jnp.asarray(cfg.pixel_mean)
-    std = jnp.asarray(cfg.pixel_std)
+    # fused resize-640->320 + normalize (see ops/image.make_fused_preprocess)
+    pre = make_fused_preprocess(
+        (640, 640), (320, 320), cfg.pixel_mean, cfg.pixel_std, jnp.bfloat16
+    )
 
     def pipeline(params, images_u8):
-        # uint8 values are exact in bf16; device resize on the MXU
-        x = resize_bilinear(images_u8.astype(jnp.bfloat16), 320, 320, "pil_bilinear")
-        x = (x.astype(jnp.float32) - mean) / std
+        x = pre(images_u8)
         out = model.apply(params, x, deterministic=True)
         # bf16 postprocess fast path (resize matmuls stay on the MXU default
         # precision); the exact f32 path is the API default for parity
@@ -79,7 +79,9 @@ def build(batch: int, use_pallas: bool):
         total, _ = lax.scan(body, jnp.float32(0.0), batches)
         return total
 
-    k = max(1, 512 // batch)
+    # K big enough to amortize the ~30 ms fixed dispatch overhead of one
+    # timed invocation (PERF_NOTES.md, tools/bench_calib.py)
+    k = max(1, 2048 // batch)
     rng = np.random.default_rng(0)
     batches = jnp.asarray(
         rng.integers(0, 256, size=(k, batch, 640, 640, 3)), jnp.uint8
@@ -111,7 +113,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     best = 0.0
     results = []
-    configs = [(128, False), (64, False)] if on_tpu else [(2, False)]
+    configs = [(128, False), (256, False)] if on_tpu else [(2, False)]
     for batch, use_pallas in configs:
         try:
             fn, params, batches = build(batch, use_pallas)

@@ -104,6 +104,9 @@ class PerspectiveFields:
             random init (with a warning — fields will be meaningless).
         compute_dtype: "bfloat16" (fast TPU path) or "float32" (parity).
         use_pallas: use the fused Pallas SR-attention kernel on TPU.
+        fuse_ffn / fuse_convnext: fused MixFFN / ConvNeXt-block Pallas
+            kernels (inference-only; identical param trees). Measured to
+            roughly tie XLA on v5e (PERF_NOTES.md), so default off.
         device_preprocess: resize input images on device with the float
             PIL-equivalent matrix kernel instead of host-side exact PIL.
     """
@@ -116,6 +119,8 @@ class PerspectiveFields:
         compute_dtype: str = "float32",
         use_pallas: Optional[bool] = None,
         device_preprocess: bool = False,
+        fuse_ffn: bool = False,
+        fuse_convnext: bool = False,
     ):
         if use_pallas is None:
             # XLA's attention is faster than the Pallas SR-attention kernel
@@ -134,7 +139,13 @@ class PerspectiveFields:
         self.input_format = config.input_format
         self.device_preprocess = device_preprocess
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
-        self.model = PersNet(config, dtype=dtype, use_pallas=use_pallas)
+        self.model = PersNet(
+            config,
+            dtype=dtype,
+            use_pallas=use_pallas,
+            fuse_ffn=fuse_ffn,
+            fuse_convnext=fuse_convnext,
+        )
         self.params = self._init_params(params)
         self._pixel_mean = np.asarray(config.pixel_mean, np.float32)
         self._pixel_std = np.asarray(config.pixel_std, np.float32)

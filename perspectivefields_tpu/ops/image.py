@@ -119,20 +119,34 @@ def make_resize_matrix(in_size: int, out_size: int, method: str = "torch_bilinea
 
 
 def _up2x_axis_torch(x: jnp.ndarray, axis: int):
-    """Exact 2x upsample along `axis` matching F.interpolate(bilinear,
-    align_corners=False): out[2i] = 0.25 x[i-1] + 0.75 x[i] (edge-clamped),
-    out[2i+1] = 0.75 x[i] + 0.25 x[i+1] (edge-clamped). Same taps as the
-    resize matrix row-for-row, but as elementwise VPU ops instead of a dense
-    matmul over the whole axis (the matrix has only 2 nonzeros per row)."""
-    x = jnp.moveaxis(x, axis, 0)
-    prev = jnp.concatenate([x[:1], x[:-1]], axis=0)
-    nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)
+    """Exact 2x upsample along `axis` (-3 or -2 of an (..., H, W, C) array)
+    matching F.interpolate(bilinear, align_corners=False):
+    out[2i] = 0.25 x[i-1] + 0.75 x[i], out[2i+1] = 0.75 x[i] + 0.25 x[i+1]
+    (edge-clamped). Same taps as the resize matrix row-for-row, but as
+    elementwise VPU ops. Axis-native (no moveaxis): transposing outer dims
+    physically reorders memory on TPU and costs full-tensor copies; slicing
+    and stacking along the original axis does not."""
+    axis = axis % x.ndim
+    sl = [slice(None)] * x.ndim
+
+    def take(a, b):
+        s = list(sl)
+        s[axis] = slice(a, b)
+        return x[tuple(s)]
+
+    prev = jnp.concatenate([take(0, 1), take(0, -1)], axis=axis)
+    nxt = jnp.concatenate([take(1, None), take(-1, None)], axis=axis)
     c25 = jnp.asarray(0.25, x.dtype)
     c75 = jnp.asarray(0.75, x.dtype)
     even = c25 * prev + c75 * x
     odd = c75 * x + c25 * nxt
-    y = jnp.stack([even, odd], axis=1).reshape((-1,) + x.shape[1:])
-    return jnp.moveaxis(y, 0, axis)
+    # interleave: insert a length-2 axis right after `axis`, then merge.
+    # For axis=-3 (H) the merge is an outer-dim reshape (free); for axis=-2
+    # (W) it is one minor-dim relayout.
+    y = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return y.reshape(shape)
 
 
 def _down2x_axis_pil(x: jnp.ndarray, axis: int):
@@ -140,18 +154,38 @@ def _down2x_axis_pil(x: jnp.ndarray, axis: int):
     triangle filter): interior out[i] = 0.125 x[2i-1] + 0.375 x[2i]
     + 0.375 x[2i+1] + 0.125 x[2i+2]; first/last rows renormalize the
     truncated 3-tap window (weights [0.75, 0.75, 0.25]/1.75). Identical taps
-    to _pil_bilinear_matrix(2n, n), as elementwise ops."""
-    x = jnp.moveaxis(x, axis, 0)
-    n = x.shape[0] // 2
-    xe, xo = x[0::2], x[1::2]
+    to _pil_bilinear_matrix(2n, n), as axis-native elementwise ops (no
+    moveaxis — outer-dim transposes are physical copies on TPU)."""
+    axis = axis % x.ndim
+    sl = [slice(None)] * x.ndim
+
+    def take(a, b, step=1):
+        s = list(sl)
+        s[axis] = slice(a, b, step)
+        return x[tuple(s)]
+
+    n = x.shape[axis] // 2
+    xe = take(0, None, 2)
+    xo = take(1, None, 2)
+
+    def sub(t, a, b):
+        s = list(sl)
+        s[axis] = slice(a, b)
+        return t[tuple(s)]
+
     c125 = jnp.asarray(0.125, x.dtype)
     c375 = jnp.asarray(0.375, x.dtype)
-    core = c375 * (xe[1:-1] + xo[1:-1]) + c125 * (xo[:-2] + xe[2:])
+    core = c375 * (sub(xe, 1, -1) + sub(xo, 1, -1)) + c125 * (
+        sub(xo, 0, -2) + sub(xe, 2, None)
+    )
     e = jnp.asarray(np.array([3.0, 3.0, 1.0]) / 7.0, x.dtype)
-    first = e[0] * x[0] + e[1] * x[1] + e[2] * x[2]
-    last = e[2] * x[2 * n - 3] + e[1] * x[2 * n - 2] + e[0] * x[2 * n - 1]
-    y = jnp.concatenate([first[None], core, last[None]], axis=0)
-    return jnp.moveaxis(y, 0, axis)
+    first = e[0] * take(0, 1) + e[1] * take(1, 2) + e[2] * take(2, 3)
+    last = (
+        e[2] * take(2 * n - 3, 2 * n - 2)
+        + e[1] * take(2 * n - 2, 2 * n - 1)
+        + e[0] * take(2 * n - 1, 2 * n)
+    )
+    return jnp.concatenate([first, core, last], axis=axis)
 
 
 def resize_bilinear(
@@ -203,6 +237,52 @@ def resize_bilinear(
         mw = jnp.asarray(make_resize_matrix(w, out_w, method), mat_dtype)
         x = jnp.einsum("ow,...hwc->...hoc", mw, x, precision=precision)
     return x
+
+
+def make_fused_preprocess(
+    in_hw, out_hw, mean, std, dtype=jnp.bfloat16, method: str = "pil_bilinear"
+):
+    """Build a fused device-preprocess fn: resize + per-channel normalize as
+    two matmuls over (w*c)-flattened lanes.
+
+    The H pass contracts rows with the resize matrix; the W pass multiplies
+    by kron(Mw, diag(1/std)) so the channel normalize rides along for free,
+    and -mean/std becomes the output bias (resize rows sum to 1, so
+    normalizing after the resize equals normalizing before). Keeping (w, c)
+    flattened in the lane dim avoids every elementwise op on a C=3-minor
+    layout (PERF_NOTES.md: C-minor lane waste; measured ~5x faster than the
+    per-op pipeline for 640->320 uint8 preprocessing at B=128).
+
+    Returns fn(images_uint8 (B, in_h, in_w, C)) -> (B, out_h, out_w, C) in
+    `dtype`, matching ``(resize_bilinear(x, ...) - mean) / std`` to dtype
+    rounding.
+    """
+    in_h, in_w = in_hw
+    out_h, out_w = out_hw
+    mean64 = np.asarray(mean, np.float64)
+    std64 = np.asarray(std, np.float64)
+    c = mean64.shape[0]
+    mh = jnp.asarray(make_resize_matrix(in_h, out_h, method), dtype)
+    mw64 = _pil_bilinear_matrix(in_w, out_w) if method == "pil_bilinear" else (
+        _torch_bilinear_matrix(in_w, out_w)
+    )
+    kr = jnp.asarray(
+        np.einsum("ow,cd->wcod", mw64, np.diag(1.0 / std64)).reshape(
+            in_w * c, out_w * c
+        ),
+        dtype,
+    )
+    bias = jnp.asarray(np.tile(-mean64 / std64, out_w), dtype)
+
+    def fn(images):
+        b = images.shape[0]
+        xf = images.reshape(b, in_h, in_w * c).astype(dtype)
+        x = jnp.einsum("oh,bhX->boX", mh, xf)
+        return (x.reshape(b * out_h, in_w * c) @ kr + bias).reshape(
+            b, out_h, out_w, c
+        )
+
+    return fn
 
 
 def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int):

@@ -14,13 +14,16 @@ from perspectivefields_tpu.ops import (
 
 
 @pytest.mark.parametrize(
-    "in_hw,out_hw",
-    [((17, 23), (34, 46)), ((160, 160), (320, 320)), ((320, 320), (240, 427)),
-     ((10, 10), (20, 20)), ((64, 48), (31, 77))],
+    "in_hw,out_hw,channels",
+    [((17, 23), (34, 46), 3), ((160, 160), (320, 320), 3),
+     ((320, 320), (240, 427), 3), ((10, 10), (20, 20), 3),
+     ((64, 48), (31, 77), 3),
+     # C >= 8 exercises the phase-decomposed exact-2x fast path
+     ((40, 40), (80, 80), 16), ((10, 12), (20, 24), 64)],
 )
-def test_bilinear_matches_torch_interpolate(in_hw, out_hw):
+def test_bilinear_matches_torch_interpolate(in_hw, out_hw, channels):
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(2, *in_hw, 3)).astype(np.float32)
+    x = rng.normal(size=(2, *in_hw, channels)).astype(np.float32)
     want = (
         F.interpolate(
             torch.from_numpy(x).permute(0, 3, 1, 2),
@@ -81,3 +84,26 @@ def test_device_pil_matrix_close_to_exact():
         resize_bilinear(img.astype(np.float32), 320, 320, "pil_bilinear")
     )
     assert np.max(np.abs(np.round(approx) - exact)) <= 1.0
+
+
+def test_fused_preprocess_matches_exact_pipeline():
+    """ops/image.make_fused_preprocess == resize-then-normalize to dtype
+    rounding (f32 here for exactness)."""
+    import jax.numpy as jnp
+
+    from perspectivefields_tpu.ops.image import (
+        make_fused_preprocess,
+        resize_bilinear,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(2, 64, 64, 3), dtype=np.uint8)
+    mean = np.array([103.53, 116.28, 123.675], np.float32)
+    std = np.array([2.0, 1.0, 3.0], np.float32)
+    fn = make_fused_preprocess((64, 64), (32, 32), mean, std, jnp.float32)
+    got = np.asarray(fn(jnp.asarray(img)))
+    ref = (
+        np.asarray(resize_bilinear(jnp.asarray(img, jnp.float32), 32, 32, "pil_bilinear"))
+        - mean
+    ) / std
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
