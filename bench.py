@@ -18,6 +18,7 @@ Prints exactly one JSON line:
 
 import functools
 import json
+import os
 import sys
 import time
 import traceback
@@ -26,6 +27,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+# Persistent compilation cache: the full-pipeline XLA compile takes several
+# minutes through the axon relay (measured ~6 min at B=128); cache it next to
+# the repo so repeat bench runs start in seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips (BASELINE.md north star)
 
@@ -83,12 +93,25 @@ def build(batch: int, use_pallas: bool):
     # timed invocation (PERF_NOTES.md, tools/bench_calib.py)
     k = max(1, 2048 // batch)
     rng = np.random.default_rng(0)
+    # dtype=uint8 up front: without it numpy materializes the batch as a
+    # ~20 GB int64 intermediate before the cast (measured minutes + swap)
     batches = jnp.asarray(
-        rng.integers(0, 256, size=(k, batch, 640, 640, 3)), jnp.uint8
+        rng.integers(0, 256, size=(k, batch, 640, 640, 3), dtype=np.uint8)
     )
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3), jnp.float32)
+    # Throughput does not depend on weight values: build the param tree from
+    # eval_shape + host-side random fill instead of jit(model.init), which
+    # would compile the whole forward a second time (~12 min via the relay).
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3), jnp.float32)
     )
+    prng = np.random.default_rng(42)
+
+    def _fill(s):
+        return jnp.asarray(
+            prng.standard_normal(s.shape, dtype=np.float32) * 0.02, s.dtype
+        )
+
+    params = jax.device_put(jax.tree.map(_fill, shapes))
     return run_k, params, batches
 
 
@@ -113,7 +136,9 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     best = 0.0
     results = []
-    configs = [(128, False), (256, False)] if on_tpu else [(2, False)]
+    # One config: B=128 beats 256 (PERF_NOTES.md) and every extra config is
+    # another multi-minute cold compile through the relay.
+    configs = [(128, False)] if on_tpu else [(2, False)]
     for batch, use_pallas in configs:
         try:
             fn, params, batches = build(batch, use_pallas)

@@ -124,11 +124,14 @@ class ResidualConvUnit(nn.Module):
 class FeatureFusionBlock(nn.Module):
     """Top-down fusion + 2x bilinear upsample.
 
-    Reference: decode_head.py:259-288."""
+    Reference: decode_head.py:259-288. ``upsample=False`` returns the
+    pre-upsample RCU output (same params) so the caller can compose the 2x
+    upsample into the following conv (see SegFormerDecoder.fuse_conv0)."""
 
     features: int = 256
     unit2only: bool = False
     dtype: jnp.dtype = jnp.float32
+    upsample: bool = True
 
     @nn.compact
     def __call__(self, x, lateral=None):
@@ -138,6 +141,8 @@ class FeatureFusionBlock(nn.Module):
                 lateral
             )
         out = ResidualConvUnit(self.features, self.dtype, name="resConfUnit2")(out)
+        if not self.upsample:
+            return out
         h, w = out.shape[-3], out.shape[-2]
         return resize_bilinear(out, 2 * h, 2 * w, "torch_bilinear")
 
@@ -171,6 +176,14 @@ class SegFormerDecoder(nn.Module):
     # borders: the 2px frame (where bilinear edge-clamp meets conv zero-pad)
     # is recomputed with the plain path on thin slabs and pasted over.
     fuse_tail: bool = True
+    # Same composition one level up: fusion1's 2x upsample folded into the
+    # _c1 block-row of conv_fuse_conv0 (per-phase 3x3 convs at the stride-4
+    # grid, out 4x64, then depth-to-space). Removes the (B, H/2, W/2, 256)
+    # upsample intermediate (1.7 GB bf16 @B128/320px) and runs the dominant
+    # conv at N=256 instead of N=64: measured 45.2 -> 14.6 ms per head for
+    # the whole conv0+tail back-end (tools/bench_phasev2.py, B=128 bf16).
+    # Exact incl. borders via the same plain-path slab pasting.
+    fuse_conv0: bool = True
 
     def _fused_embed_proc(self, c, emb: _LinearParams, proc: _ConvParams):
         compute = self.dtype
@@ -239,14 +252,20 @@ class SegFormerDecoder(nn.Module):
             _c3, _c2
         )
         _c1 = embed_proc(c1, 1)
-        _c1 = FeatureFusionBlock(self.fusion_dim, False, self.dtype, name="fusion1")(
-            _c2, _c1
-        )
+        _c1 = FeatureFusionBlock(
+            self.fusion_dim,
+            False,
+            self.dtype,
+            upsample=not self.fuse_conv0,
+            name="fusion1",
+        )(_c2, _c1)
 
-        # conv0 over concat([_c1, ll]) computed as two split convs summed —
-        # identical math (block-row decomposition of the kernel), but avoids
-        # materializing the (B, H, W, 320) concat in HBM (measured 1.6x
-        # faster at batch 64 on v5e). Param tree matches nn.Conv.
+        # conv0 over concat([upsample2x(_c1), ll]) computed as two split
+        # convs summed — identical math (block-row decomposition of the
+        # kernel), but avoids materializing the (B, H, W, 320) concat in HBM
+        # (measured 1.6x faster at batch 64 on v5e). Param tree matches
+        # nn.Conv. With fuse_conv0, the _c1 block-row additionally composes
+        # the 2x upsample into per-phase convs at the coarse grid.
         ll_dim = ll_features.shape[-1]
         cf0 = _ConvParams(
             3, 3, self.fusion_dim + ll_dim, 64, name="conv_fuse_conv0"
@@ -262,8 +281,12 @@ class SegFormerDecoder(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
 
+        if self.fuse_conv0:
+            x_c1 = self._fused_conv0_c1(_c1, cf0.kernel[:, :, : self.fusion_dim, :])
+        else:
+            x_c1 = _conv(_c1, k0[:, :, : self.fusion_dim, :])
         x = (
-            _conv(_c1, k0[:, :, : self.fusion_dim, :])
+            x_c1
             + _conv(ll_features, k0[:, :, self.fusion_dim :, :])
             + cf0.bias.astype(self.dtype)
         )
@@ -298,6 +321,59 @@ class SegFormerDecoder(nn.Module):
     # input offset gives these matrices (see tests/test_head_fusion.py).
     _W_PHASE0 = ((0.75, 0.25, 0.0), (0.25, 0.75, 0.0), (0.0, 0.75, 0.25))
     _W_PHASE1 = ((0.25, 0.75, 0.0), (0.0, 0.75, 0.25), (0.0, 0.25, 0.75))
+
+    def _plain_conv0_c1(self, a, k_c1):
+        """Reference dataflow for the _c1 block-row: 2x upsample, 3x3 conv."""
+        h, w = a.shape[-3], a.shape[-2]
+        up = resize_bilinear(a.astype(self.dtype), 2 * h, 2 * w, "torch_bilinear")
+        return lax.conv_general_dilated(
+            up, k_c1.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def _fused_conv0_c1(self, a, k_c1):
+        """fusion1's 2x upsample composed into conv0's _c1 block-row.
+
+        a: pre-upsample fusion1 output (B, h, w, 256); k_c1: (3, 3, 256, 64).
+        Returns conv3x3(upsample2x(a), k_c1) at (B, 2h, 2w, 64) — computed as
+        four per-phase 3x3 convs at (h, w) (out 4x64, N=256 on the MXU, no
+        (B, 2h, 2w, 256) intermediate) + depth-to-space. Exact in the
+        interior; the 2px frame (bilinear edge clamp x conv zero pad) is
+        recomputed with the plain path on 3px slabs and pasted over.
+        """
+        compute = self.dtype
+        w0 = jnp.asarray(self._W_PHASE0, jnp.float32)
+        w1 = jnp.asarray(self._W_PHASE1, jnp.float32)
+        kf = k_c1.astype(jnp.float32)  # (3, 3, 256, 64)
+        kphase = jnp.concatenate(
+            [
+                jnp.einsum("pa,qb,pqio->abio", wv, wh, kf, precision="highest")
+                for wv in (w0, w1)
+                for wh in (w0, w1)
+            ],
+            axis=-1,
+        ).astype(compute)
+        z = lax.conv_general_dilated(
+            a.astype(compute), kphase, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, h, w, _ = z.shape
+        c = k_c1.shape[-1]
+        # depth-to-space: phase p = 2*di + dj -> pixel (2i+di, 2j+dj)
+        y = (
+            z.reshape(b, h, w, 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, 2 * h, 2 * w, c)
+        )
+        top = self._plain_conv0_c1(a[:, :3], k_c1)[:, :2]
+        bot = self._plain_conv0_c1(a[:, -3:], k_c1)[:, -2:]
+        left = self._plain_conv0_c1(a[:, :, :3], k_c1)[:, :, :2]
+        right = self._plain_conv0_c1(a[:, :, -3:], k_c1)[:, :, -2:]
+        y = y.at[:, :2].set(top)
+        y = y.at[:, -2:].set(bot)
+        y = y.at[:, :, :2].set(left)
+        y = y.at[:, :, -2:].set(right)
+        return y
 
     def _fused_tail(self, x, cf1: _ConvParams, pred: _ConvParams):
         """upsample+conv1 composed into 4 phase convs at half resolution.
