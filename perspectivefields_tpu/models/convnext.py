@@ -18,6 +18,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.activations import gelu
+
 
 class _Affine(nn.Module):
     """Parameter holder matching nn.LayerNorm's tree (scale/bias)."""
@@ -112,7 +114,8 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        # dtype-matched GELU (exact erf at f32, tanh at bf16 — activations.py)
+        x = gelu(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
         gamma = self.param(
             "gamma",

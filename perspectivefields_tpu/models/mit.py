@@ -12,7 +12,9 @@ TPU-first design decisions (not a translation):
 * channels-last (B, H, W, C) end to end — the native TPU conv layout; the
   reference's NCHW<->(B,N,C) permute churn disappears, attention reshapes are
   free metadata ops on the last two axes.
-* exact-erf GELU to match torch's nn.GELU for checkpoint parity.
+* dtype-matched GELU: exact erf at f32 (torch nn.GELU parity), tanh form at
+  bf16 (equally accurate at bf16 resolution, ~5x cheaper on the VPU — see
+  ops/activations.py).
 * attention computed head-batched with einsum; q @ k^T contractions sized so
   XLA tiles them onto the MXU (stage-1: N=6400, KV=N/64=100). An optional
   fused Pallas kernel for this path lives in kernels/sr_attention.py.
@@ -28,6 +30,8 @@ from typing import Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from ..ops.activations import gelu
 
 from ..config import BackboneConfig
 from ..kernels.sr_attention import sr_attention
@@ -109,7 +113,10 @@ class MixFFN(nn.Module):
             dtype=self.dtype,
             name="dwconv",
         )(x)
-        x = jax.nn.gelu(x, approximate=False)
+        # dtype-matched GELU: exact erf at f32, tanh form at bf16 (equally
+        # accurate at bf16 resolution, ~5x cheaper on the VPU — see
+        # ops/activations.py)
+        x = gelu(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
