@@ -90,7 +90,9 @@ def build(batch: int, use_pallas: bool):
         return total
 
     # K big enough to amortize the ~30 ms fixed dispatch overhead of one
-    # timed invocation (PERF_NOTES.md, tools/bench_calib.py)
+    # timed invocation (PERF_NOTES.md, tools/bench_calib.py). K=32 (5 GB of
+    # device-resident input) measured ~3% SLOWER than K=16 — HBM pressure
+    # outweighs the better overhead amortization; don't raise it.
     k = max(1, 2048 // batch)
     rng = np.random.default_rng(0)
     # dtype=uint8 up front: without it numpy materializes the batch as a
@@ -137,8 +139,9 @@ def main():
     best = 0.0
     results = []
     # One config: B=128 beats 256 (PERF_NOTES.md) and every extra config is
-    # another multi-minute cold compile through the relay.
-    configs = [(128, False)] if on_tpu else [(2, False)]
+    # another multi-minute cold compile through the relay. use_pallas=True =
+    # the fused attention-block kernel (the API default on TPU).
+    configs = [(128, True)] if on_tpu else [(2, False)]
     for batch, use_pallas in configs:
         try:
             fn, params, batches = build(batch, use_pallas)

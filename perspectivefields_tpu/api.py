@@ -103,7 +103,9 @@ class PerspectiveFields:
             ``perspectivefields_tpu/weights/<version>.npz`` if present, else
             random init (with a warning — fields will be meaningless).
         compute_dtype: "bfloat16" (fast TPU path) or "float32" (parity).
-        use_pallas: use the fused Pallas SR-attention kernel on TPU.
+        use_pallas: fused attention-block Pallas kernel (projections +
+            softmax, VMEM-resident). Default: on when running on TPU; it
+            self-gates to shapes where it wins and XLA handles the rest.
         fuse_ffn / fuse_convnext: fused MixFFN / ConvNeXt-block Pallas
             kernels (inference-only; identical param trees). Measured to
             roughly tie XLA on v5e (PERF_NOTES.md), so default off.
@@ -123,10 +125,12 @@ class PerspectiveFields:
         fuse_convnext: bool = False,
     ):
         if use_pallas is None:
-            # XLA's attention is faster than the Pallas SR-attention kernel
-            # at this model's shapes on v5e (see PERF_NOTES.md); the kernel
-            # remains available for experimentation
-            use_pallas = False
+            # the fused attention-block kernel (projections + softmax in one
+            # VMEM-resident Pallas program) beats XLA at the latency-bound
+            # later backbone stages (+~15 ms/batch @B128; PERF_NOTES.md);
+            # it gates itself to suitable shapes and falls back to XLA
+            # elsewhere. Inference-only (no VJP) — exactly this API's use.
+            use_pallas = jax.default_backend() == "tpu"
         if config is None:
             if version not in model_zoo:
                 raise ValueError(

