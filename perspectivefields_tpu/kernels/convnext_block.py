@@ -50,6 +50,19 @@ def _gelu_exact_f32(x):
     return 0.5 * x * (1.0 + _erf_f32(x * jnp.float32(0.7071067811865476)))
 
 
+def _gelu_tanh_f32(x):
+    """tanh-form GELU in f32 (the bf16 compute-mode form; activations.py)."""
+    c = jnp.float32(0.7978845608028654)  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + jnp.float32(0.044715) * (x * x * x))))
+
+
+def _gelu_f32(x, compute_dtype):
+    """Match ops.activations.gelu's dtype rule inside kernels (f32 math)."""
+    if compute_dtype == jnp.bfloat16:
+        return _gelu_tanh_f32(x)
+    return _gelu_exact_f32(x)
+
+
 def _block_kernel(
     x_hbm, dwk, dwb, lns, lnb, w1, b1, w2, b2, gamma, out_ref, xbuf, sem,
     *, nb, th, w, c, c_real, eps,
@@ -91,7 +104,7 @@ def _block_kernel(
         w1[:],
         preferred_element_type=jnp.float32,
     ) + b1[:].astype(jnp.float32)
-    g = _gelu_exact_f32(m)
+    g = _gelu_f32(m, cdt)
     h = jnp.dot(
         g.astype(cdt), w2[:], preferred_element_type=jnp.float32
     ) + b2[:].astype(jnp.float32)

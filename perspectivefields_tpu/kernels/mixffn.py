@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .convnext_block import _gelu_exact_f32
+from .convnext_block import _gelu_f32
 
 
 def _ffn_kernel(
@@ -72,7 +72,7 @@ def _ffn_kernel(
         for dp in range(3):
             tap = dwk[dp, dq].astype(jnp.float32)
             acc = acc + mdq[:, dp : dp + th].astype(jnp.float32) * tap
-    g = _gelu_exact_f32(acc + dwb[:].astype(jnp.float32))
+    g = _gelu_f32(acc + dwb[:].astype(jnp.float32), cdt)
 
     out = jnp.dot(
         g.reshape(nb * th * w, hdim).astype(cdt), w2[:],
@@ -116,10 +116,36 @@ def mixffn_fused(
         th = min(h, max(8, 2048 // w))
     while h % th:
         th -= 1
+
+    def _tile_bytes(nb_, th_):
+        # xbuf (cdt) + hidden map m (transient f32 + cdt) + f32 acc + weights
+        wp_ = -(-(w + 2) // 8) * 8
+        return (
+            nb_
+            * (
+                (th_ + 2) * wp_ * (c * x.dtype.itemsize + hdim * 6)
+                + th_ * w * hdim * 4
+            )
+            + (c * hdim + hdim * c_out) * 2
+        )
+
     if nb is None:
         nb = max(1, 2048 // (th * max(w, 1)))
         while b % nb:
             nb -= 1
+        # respect the 16 MB scoped-VMEM limit (wide-hidden stages at small
+        # spatial dims otherwise overflow: stage-4 2048-hidden blew 19.7 MB)
+        while nb > 1 and _tile_bytes(nb, th) > 11 * 2**20:
+            nb -= 1
+            while b % nb:
+                nb -= 1
+    while th > 8 and _tile_bytes(nb, th) > 11 * 2**20:
+        nt = th - 1
+        while nt > 1 and h % nt:
+            nt -= 1
+        if nt >= th:
+            break
+        th = nt
     wp = -(-(w + 2) // 8) * 8
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
     dwk2 = dwk.reshape(3, 3, hdim)
