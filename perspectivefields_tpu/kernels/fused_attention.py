@@ -50,9 +50,15 @@ def _xla_reference(x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale):
 
 
 def _kernel(
-    x_ref, kv_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref, bp_ref, o_ref,
-    *, num_heads: int, scale: float, m_true: int
+    *refs, num_heads: int, scale: float, m_true: int, has_res: bool
 ):
+    if has_res:
+        (x_ref, kv_ref, res_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref,
+         bp_ref, o_ref) = refs
+    else:
+        (x_ref, kv_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref, bp_ref,
+         o_ref) = refs
+        res_ref = None
     # Mosaic constraint: stay strictly 2-D — reshapes that split/merge the
     # lane (last) dim don't lower ("unsupported shape cast"). Heads are
     # addressed with static 2-D slices instead (dh = 64 in every MiT stage,
@@ -120,13 +126,17 @@ def _kernel(
         )
         + bp_ref[...].astype(jnp.float32)
     ).astype(cdt)
-    o_ref[...] = o.reshape(bb, n, c)
+    o = o.reshape(bb, n, c)
+    if res_ref is not None:
+        # pre-LN residual folded in (saves the external add's HBM round trip)
+        o = res_ref[...] + o
+    o_ref[...] = o
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "force_xla"))
 def fused_attention(
     x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads: int, scale: float,
-    force_xla: bool = False,
+    force_xla: bool = False, residual=None,
 ):
     """Attention sub-block (projections included) on (B, N, C) tokens.
 
@@ -134,13 +144,16 @@ def fused_attention(
         x: (B, N, C) LN'd tokens (queries).
         kv_in: (B, M, C) spatially-reduced + LN'd tokens for K/V.
         wq/bq: (C, C)/(C,); wkv/bkv: (C, 2C)/(2C,); wproj/bproj: (C, C)/(C,).
+        residual: optional (B, N, C) tensor added to the output inside the
+            kernel (the transformer block's pre-LN skip connection).
     Returns:
-        (B, N, C).
+        (B, N, C) — ``residual + attn`` when residual is given, else attn.
     """
     if force_xla or jax.default_backend() != "tpu":
-        return _xla_reference(
+        out = _xla_reference(
             x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale
         )
+        return out if residual is None else residual + out
 
     b, n, c = x.shape
     m = kv_in.shape[1]
@@ -155,31 +168,43 @@ def fused_attention(
     if n > 2048:
         tn = next((t for t in range(1600, 0, -1) if n % t == 0), n)
 
-    # batch tile: cap VMEM use (x + q + logits f32 + out, roughly
-    # bb*(tn*c*4 + tn*mpad*4) bytes) around 8 MB of the 16 MB scoped limit.
+    # batch tile: cap VMEM use (x + q + logits f32 + out [+ residual],
+    # roughly bb*tn*(c*(4+2*has_res) + mpad*4) bytes) around 6 MB of the
+    # 16 MB scoped limit (the Mosaic stack needs headroom for double
+    # buffering — 8 MB blew the limit once the residual block was added).
+    per_bb = tn * (c * (4 + (2 if residual is not None else 0)) + mpad * 4)
     bb = 1
     for cand in (16, 8, 4, 2, 1):
-        if b % cand == 0 and cand * tn * (c * 4 + mpad * 4) <= 8 * 2**20:
+        if b % cand == 0 and cand * per_bb <= 6 * 2**20:
             bb = cand
             break
 
     grid = (b // bb, n // tn)
+    in_specs = [
+        pl.BlockSpec((bb, tn, c), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((bb, mpad, c), lambda i, j: (i, 0, 0)),
+    ]
+    args = [x, kv_in]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((bb, tn, c), lambda i, j: (i, j, 0)))
+        args.append(residual)
+    in_specs += [
+        pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+        pl.BlockSpec((c,), lambda i, j: (0,)),
+        pl.BlockSpec((c, 2 * c), lambda i, j: (0, 0)),
+        pl.BlockSpec((2 * c,), lambda i, j: (0,)),
+        pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+        pl.BlockSpec((c,), lambda i, j: (0,)),
+    ]
+    args += [wq, bq, wkv, bkv, wproj, bproj]
     out = pl.pallas_call(
         functools.partial(
-            _kernel, num_heads=num_heads, scale=scale, m_true=m
+            _kernel, num_heads=num_heads, scale=scale, m_true=m,
+            has_res=residual is not None,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bb, tn, c), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((bb, mpad, c), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((c,), lambda i, j: (0,)),
-            pl.BlockSpec((c, 2 * c), lambda i, j: (0, 0)),
-            pl.BlockSpec((2 * c,), lambda i, j: (0,)),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((c,), lambda i, j: (0,)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, tn, c), lambda i, j: (i, j, 0)),
-    )(x, kv_in, wq, bq, wkv, bkv, wproj, bproj)
+    )(*args)
     return out

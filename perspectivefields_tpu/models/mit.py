@@ -139,7 +139,11 @@ class SRAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
+        """x: LN'd (B, H, W, C) map. ``residual`` (same shape): the block's
+        pre-LN skip connection — when given it is added to the output (for
+        the fused kernel, inside the kernel, saving the external add's HBM
+        round trip; identical math either way)."""
         b, h, w, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
@@ -189,6 +193,11 @@ class SRAttention(nn.Module):
                 ph.bias,
                 self.num_heads,
                 scale,
+                residual=(
+                    None
+                    if residual is None
+                    else residual.reshape(b, h * w, self.dim).astype(cdt)
+                ),
             )
             return out.reshape(b, h, w, self.dim)
 
@@ -205,7 +214,8 @@ class SRAttention(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(b, h, w, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return out if residual is None else residual + out
 
 
 class Block(nn.Module):
@@ -226,7 +236,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        attn_out = SRAttention(
+        attn = SRAttention(
             self.dim,
             self.num_heads,
             self.sr_ratio,
@@ -235,8 +245,15 @@ class Block(nn.Module):
             self.dtype,
             self.use_pallas,
             name="attn",
-        )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x))
-        x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic)
+        )
+        ln1 = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
+        # NOTE: folding the skip connection into the fused kernel
+        # (attn(ln1, residual=x)) was measured NET SLOWER e2e (617 -> 611
+        # img/s @B128): the extra VMEM block forces smaller batch tiles,
+        # which costs more than the saved external add. Keep the add here.
+        x = x + DropPath(self.drop_path, name="drop_path1")(
+            attn(ln1), deterministic
+        )
         ffn_out = MixFFN(
             self.dim * self.mlp_ratio, self.dim, self.dtype, self.fuse_ffn, name="mlp"
         )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x))

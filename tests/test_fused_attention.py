@@ -30,6 +30,11 @@ def test_use_pallas_param_tree_and_fallback_identity():
     y1 = jax.jit(plain.apply)(p1, x)
     y2 = jax.jit(fused.apply)(p1, x)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=2e-5, rtol=1e-5)
+    # residual folding == external add
+    res = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    yr1 = res + jax.jit(plain.apply)(p1, x)
+    yr2 = jax.jit(lambda p, a, r: fused.apply(p, a, residual=r))(p1, x, res)
+    np.testing.assert_allclose(np.asarray(yr2), np.asarray(yr1), atol=2e-5, rtol=1e-5)
 
 
 def test_xla_reference_matches_inline_math():

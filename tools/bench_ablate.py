@@ -45,7 +45,7 @@ def main():
         "no_latitude": dataclasses.replace(cfg, latitude=None, param=None),
     }
 
-    base_model = PersNet(cfg, dtype=jnp.bfloat16)
+    base_model = PersNet(cfg, dtype=jnp.bfloat16, use_pallas=True)
     params = jax.jit(base_model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3), jnp.float32)
     )
@@ -71,7 +71,7 @@ def main():
         return s
 
     for name, vcfg in variants.items():
-        model = PersNet(vcfg, dtype=jnp.bfloat16)
+        model = PersNet(vcfg, dtype=jnp.bfloat16, use_pallas=True)
 
         def e2e(p, u8, model=model):
             out = model.apply(p, pre(u8), deterministic=True)
