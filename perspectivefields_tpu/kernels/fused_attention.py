@@ -170,17 +170,28 @@ def fused_attention(
 
     # batch tile sized against the 16 MB scoped-VMEM limit. Honest
     # accounting (validated against Mosaic's reported stack usage): the
-    # token-sized values live roughly as x(2) + q f32 transient(4) +
-    # q cdt(2) + per-item outs(2) + o f32 transient(4) + output(2)
-    # [+ residual(2)] bytes/elem = ~16*c per token, plus ~8*mpad of f32
-    # logits. At (tn=400, c=320, bb=8) this predicts 16.4 MB — exactly the
-    # 17.5 MB overflow Mosaic reported there.
+    # token-sized values live roughly as x + q_cdt + per-item outs + output
+    # [+ residual] at itemsize bytes each, plus the q/o f32 transients at
+    # 4 bytes each: (4 + has_res)*itemsize + 8 bytes per token-channel,
+    # plus (4 + itemsize)*mpad of softmax state per token. At bf16
+    # (tn=400, c=320, bb=8) this predicts 16.4 MB — exactly the 17.5 MB
+    # overflow Mosaic reported there.
+    isz = x.dtype.itemsize
     per_bb = tn * (
-        c * (16 + (2 if residual is not None else 0)) + mpad * 8
+        c * ((4 + (1 if residual is not None else 0)) * isz + 8)
+        + mpad * (4 + isz)
     )
+    budget = 13 * 2**20
+    if per_bb > budget:
+        # even a single batch item overflows scoped VMEM (large non-default
+        # resolutions) — use the identical-math XLA path instead
+        out = _xla_reference(
+            x, kv_in[:, :m], wq, bq, wkv, bkv, wproj, bproj, num_heads, scale
+        )
+        return out if residual is None else residual + out
     bb = 1
     for cand in (16, 8, 4, 2, 1):
-        if b % cand == 0 and cand * per_bb <= 14 * 2**20:
+        if b % cand == 0 and cand * per_bb <= budget:
             bb = cand
             break
 

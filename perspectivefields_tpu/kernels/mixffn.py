@@ -118,15 +118,17 @@ def mixffn_fused(
         th -= 1
 
     def _tile_bytes(nb_, th_):
-        # xbuf (cdt) + hidden map m (transient f32 + cdt) + f32 acc + weights
+        # xbuf (cdt) + hidden map m (transient f32 + cdt copy) + f32 acc +
+        # weight blocks — all scaled by the actual compute itemsize
+        isz = x.dtype.itemsize
         wp_ = -(-(w + 2) // 8) * 8
         return (
             nb_
             * (
-                (th_ + 2) * wp_ * (c * x.dtype.itemsize + hdim * 6)
+                (th_ + 2) * wp_ * (c * isz + hdim * (4 + isz))
                 + th_ * w * hdim * 4
             )
-            + (c * hdim + hdim * c_out) * 2
+            + (c * hdim + hdim * c_out) * isz
         )
 
     if nb is None:

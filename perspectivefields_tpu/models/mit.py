@@ -123,6 +123,13 @@ class MixFFN(nn.Module):
         return x
 
 
+def _fused_backend_ok() -> bool:
+    """Backend gate for the fused attention branch (separate function so
+    tests can monkeypatch it and exercise the branch on the CPU mesh, where
+    fused_attention itself falls back to the identical-math XLA path)."""
+    return jax.default_backend() == "tpu"
+
+
 class SRAttention(nn.Module):
     """Efficient attention with spatial reduction of K/V.
 
@@ -175,7 +182,7 @@ class SRAttention(nn.Module):
             and self.qkv_bias
             and h * w <= 2048
             and head_dim % 64 == 0
-            and jax.default_backend() == "tpu"
+            and _fused_backend_ok()
         )
         if use_fused:
             qh = _DenseHolder(c, self.dim, name="q")

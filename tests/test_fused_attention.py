@@ -19,7 +19,14 @@ from perspectivefields_tpu.kernels.fused_attention import (
 from perspectivefields_tpu.models.mit import SRAttention
 
 
-def test_use_pallas_param_tree_and_fallback_identity():
+def test_use_pallas_param_tree_and_fallback_identity(monkeypatch):
+    # Force the fused branch on the CPU mesh (fused_attention itself then
+    # falls back to its identical-math XLA path) so the _DenseHolder param
+    # tree and the residual plumbing are genuinely exercised off-TPU.
+    from perspectivefields_tpu.models import mit as mit_mod
+
+    monkeypatch.setattr(mit_mod, "_fused_backend_ok", lambda: True)
+
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 320)), jnp.float32)
     plain = SRAttention(320, 5, sr_ratio=2, use_pallas=False)
@@ -27,6 +34,10 @@ def test_use_pallas_param_tree_and_fallback_identity():
     p1 = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
     p2 = jax.jit(fused.init)(jax.random.PRNGKey(0), x)
     assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    # holders must produce the same kernel/bias SHAPES as nn.Dense too
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: a.shape == b.shape, p1, p2)
+    )
     y1 = jax.jit(plain.apply)(p1, x)
     y2 = jax.jit(fused.apply)(p1, x)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=2e-5, rtol=1e-5)
