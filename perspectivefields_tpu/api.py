@@ -161,20 +161,46 @@ class PerspectiveFields:
             return self._load_any(str(params))
         if params is not None:
             return params
-        # local weights: converted .npz first, then a side-loaded torch .pth
+        # local weights: converted .npz first, then a side-loaded torch .pth.
+        # A cached-but-corrupt file (e.g. a truncated or captive-portal
+        # download from a previous run) must not permanently brick the
+        # constructor: warn, quarantine it, and keep falling through.
         for cand in (
             os.path.join(_WEIGHTS_DIR, f"{self.version}.npz"),
             os.path.join(_WEIGHTS_DIR, f"{self.version}.pth"),
         ):
             if os.path.exists(cand):
-                return self._load_any(cand)
+                try:
+                    return self._load_any(cand)
+                except Exception as exc:  # corrupt cache — not user-passed
+                    quarantined = cand + ".corrupt"
+                    try:
+                        os.replace(cand, quarantined)
+                    except OSError:
+                        quarantined = cand
+                    warnings.warn(
+                        f"cached weights {cand} failed to load ({exc!r}); "
+                        f"moved to {quarantined} and continuing",
+                        stacklevel=2,
+                    )
         # auto-download like the reference (perspectivefields.py:178-192),
         # guarded so zero-egress environments degrade gracefully
         url = model_zoo.get(self.version, {}).get("weights_url")
         if url:
             dest = os.path.join(_WEIGHTS_DIR, f"{self.version}.pth")
             if _try_download(url, dest):
-                return self._load_any(dest)
+                try:
+                    return self._load_any(dest)
+                except Exception as exc:
+                    try:
+                        os.replace(dest, dest + ".corrupt")
+                    except OSError:
+                        pass
+                    warnings.warn(
+                        f"downloaded weights failed to load ({exc!r}); "
+                        "falling back to random initialization",
+                        stacklevel=2,
+                    )
         warnings.warn(
             f"No weights found for {self.version!r} (looked in {_WEIGHTS_DIR}, "
             f"download unavailable); using random initialization — fields will "

@@ -56,25 +56,44 @@ def load_params(path: str) -> dict:
     return ckptr.restore(os.path.abspath(path))
 
 
-def save_train_state(state, path: str):
-    """Persist a full TrainState (params + optimizer state + step) to an
-    orbax directory, for training resume. Synchronous (returns when durable).
+def save_train_state(state, path: str, keep: int = 2):
+    """Persist a full TrainState (params + optimizer state + step) under
+    ``path/step_<n>/``, keeping the last ``keep`` steps. Synchronous
+    (returns when durable).
+
+    Step-numbered subdirectories mean a crash mid-save can never destroy
+    the previous good checkpoint (an in-place force-overwrite of a single
+    directory deletes the old one before committing the new one).
     """
     import orbax.checkpoint as ocp
 
+    base = os.path.abspath(path)
+    step = int(state.step)
     ckptr = ocp.StandardCheckpointer()
     tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
-    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.save(os.path.join(base, f"step_{step:08d}"), tree, force=True)
     ckptr.wait_until_finished()
+    if keep and os.path.isdir(base):
+        steps = sorted(d for d in os.listdir(base) if d.startswith("step_"))
+        for stale in steps[:-keep]:
+            import shutil
+
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
 
 
 def restore_train_state(path: str, template_state):
-    """Restore a TrainState saved by save_train_state.
+    """Restore the newest usable TrainState under ``path``.
+
+    Tries ``path/step_<n>/`` newest-first (skipping any partial/corrupt
+    save with a warning), then ``path`` itself (the legacy single-dir
+    layout). Raises FileNotFoundError when nothing restores.
 
     template_state: a freshly-initialized TrainState with the same model /
     optimizer config — provides the pytree structure (optax states are
     namedtuple trees) and shardings for the restored arrays.
     """
+    import warnings
+
     import jax
     import orbax.checkpoint as ocp
 
@@ -87,5 +106,26 @@ def restore_train_state(path: str, template_state):
         "step": template_state.step,
     }
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-    tree = ckptr.restore(os.path.abspath(path), abstract)
-    return TrainState(tree["params"], tree["opt_state"], tree["step"])
+    base = os.path.abspath(path)
+    candidates = []
+    if os.path.isdir(base):
+        candidates = [
+            os.path.join(base, d)
+            for d in sorted(
+                (d for d in os.listdir(base) if d.startswith("step_")),
+                reverse=True,
+            )
+        ]
+    candidates.append(base)  # legacy layout
+    for cand in candidates:
+        try:
+            tree = ckptr.restore(cand, abstract)
+        except Exception as exc:
+            if cand != base:
+                warnings.warn(
+                    f"checkpoint {cand} unusable ({exc!r}); trying older",
+                    stacklevel=2,
+                )
+            continue
+        return TrainState(tree["params"], tree["opt_state"], tree["step"])
+    raise FileNotFoundError(f"no restorable checkpoint under {base}")

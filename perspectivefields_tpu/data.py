@@ -113,13 +113,19 @@ def data_iterator(
     batch_size: int = 16,
     im_hw=(320, 320),
     pano: Optional[jnp.ndarray] = None,
+    start_step: int = 0,
     **gen_kwargs,
 ) -> Iterator[Dict[str, jnp.ndarray]]:
-    """Infinite stream of synthetic training batches (device-resident)."""
+    """Infinite stream of synthetic training batches (device-resident).
+
+    Batch i is a pure function of (key, i) via fold_in — seekable, so a
+    resumed run (``start_step = restored step``) continues the exact data
+    stream instead of re-consuming it from batch 0."""
     gen = make_batch_generator(im_hw[0], im_hw[1], **gen_kwargs)
+    pano_key, batch_key = jax.random.split(key)
     if pano is None:
-        key, sub = jax.random.split(key)
-        pano = synthetic_pano(sub)
+        pano = synthetic_pano(pano_key)
+    step = start_step
     while True:
-        key, sub = jax.random.split(key)
-        yield gen(sub, pano, batch_size)
+        yield gen(jax.random.fold_in(batch_key, step), pano, batch_size)
+        step += 1

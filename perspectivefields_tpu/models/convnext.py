@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activations import gelu
+from .holders import _ConvParams as _ConvHolder, _LinearParams as _DenseHolder
 
 
 class _Affine(nn.Module):
@@ -29,38 +30,6 @@ class _Affine(nn.Module):
     def setup(self):
         self.scale = self.param("scale", nn.initializers.ones, (self.features,))
         self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
-
-
-class _ConvHolder(nn.Module):
-    """Parameter holder matching nn.Conv's tree (kernel/bias)."""
-
-    kh: int
-    kw: int
-    features_in: int
-    features_out: int
-
-    def setup(self):
-        self.kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.kh, self.kw, self.features_in, self.features_out),
-        )
-        self.bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
-
-
-class _DenseHolder(nn.Module):
-    """Parameter holder matching nn.Dense's tree (kernel/bias)."""
-
-    features_in: int
-    features_out: int
-
-    def setup(self):
-        self.kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.features_in, self.features_out),
-        )
-        self.bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
 
 
 class ConvNeXtBlock(nn.Module):

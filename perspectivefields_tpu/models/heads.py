@@ -22,36 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.image import resize_bilinear
-
-
-class _LinearParams(nn.Module):
-    """Parameter holder matching nn.Dense's param tree (kernel/bias)."""
-
-    features_in: int
-    features_out: int
-
-    def setup(self):
-        self.kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (self.features_in, self.features_out)
-        )
-        self.bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
-
-
-class _ConvParams(nn.Module):
-    """Parameter holder matching nn.Conv's param tree (kernel/bias)."""
-
-    kh: int
-    kw: int
-    features_in: int
-    features_out: int
-
-    def setup(self):
-        self.kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.kh, self.kw, self.features_in, self.features_out),
-        )
-        self.bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+from .holders import _ConvParams, _LinearParams
 
 
 class FrozenBatchNorm(nn.Module):

@@ -213,6 +213,11 @@ def resize_bilinear(
     # The phase fast paths are elementwise (VPU); with few channels the
     # channels-minor layout wastes most VPU lanes and the MXU matmul wins
     # (measured: 640->320 C=3 preprocess got SLOWER via phases). Gate on C.
+    # Integer inputs promote to f32 first (the matrix path does this via
+    # matmul dtype promotion; the elementwise taps would otherwise truncate
+    # 0.25/0.75 to zero in the input dtype).
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
     wide = x.shape[-1] >= 8
     if wide and method == "torch_bilinear" and out_h == 2 * h and out_w == 2 * w:
         return _up2x_axis_torch(_up2x_axis_torch(x, -3), -2)

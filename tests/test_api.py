@@ -105,3 +105,22 @@ def test_batch_consistent_with_single(tiny_api):
 def test_unknown_version_raises():
     with pytest.raises(ValueError, match="unknown version"):
         PerspectiveFields(version="not-a-model")
+
+
+def test_corrupt_cached_weights_quarantined(tmp_path, monkeypatch):
+    """A corrupt cached .pth must not brick the constructor: it is
+    quarantined with a warning and init falls through to random weights."""
+    import warnings as _warnings
+
+    from perspectivefields_tpu import api as api_mod
+
+    monkeypatch.setattr(api_mod, "_WEIGHTS_DIR", str(tmp_path))
+    bad = tmp_path / "Paramnet-360Cities-edina-centered.pth"
+    bad.write_bytes(b"not a checkpoint")
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        model = api_mod.PerspectiveFields("Paramnet-360Cities-edina-centered")
+    msgs = " | ".join(str(r.message) for r in rec)
+    assert "failed to load" in msgs and "random initialization" in msgs
+    assert not bad.exists() and (tmp_path / (bad.name + ".corrupt")).exists()
+    assert model.params is not None

@@ -107,3 +107,26 @@ def test_fused_preprocess_matches_exact_pipeline():
         - mean
     ) / std
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_phase_fast_path_integer_input_promotes():
+    """Exact-2x phase fast paths (C>=8 gate) must promote integer inputs to
+    f32 like the matrix path, not truncate the 0.25/0.75 taps to zero."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from perspectivefields_tpu.ops.image import resize_bilinear
+
+    rng = np.random.default_rng(0)
+    x_u8 = jnp.asarray(rng.integers(0, 256, size=(1, 8, 8, 16)), jnp.uint8)
+    up = resize_bilinear(x_u8, 16, 16, "torch_bilinear")  # fast path (C=16)
+    ref = resize_bilinear(x_u8.astype(jnp.float32), 16, 16, "torch_bilinear")
+    assert up.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref), atol=1e-5)
+    assert float(jnp.max(up)) > 1.0  # not all zeros
+
+    x_d = jnp.asarray(rng.integers(0, 256, size=(1, 16, 16, 16)), jnp.uint8)
+    down = resize_bilinear(x_d, 8, 8, "pil_bilinear")
+    ref_d = resize_bilinear(x_d.astype(jnp.float32), 8, 8, "pil_bilinear")
+    np.testing.assert_allclose(np.asarray(down), np.asarray(ref_d), atol=1e-5)
+    assert float(jnp.max(down)) > 1.0

@@ -167,3 +167,51 @@ def test_orbax_save_restore_resume(tmp_path):
     b_leaves = jax.tree.leaves(resumed.params)
     for a, b in zip(a_leaves, b_leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_step_dirs_keep_and_fallback(tmp_path):
+    """Step-numbered checkpoints: retention of the last `keep`, and restore
+    falling back past a corrupted newest save to the previous good one."""
+    import os
+    import shutil
+
+    from perspectivefields_tpu.checkpoint import restore_train_state, save_train_state
+    from perspectivefields_tpu.train import create_train_state, make_train_step
+
+    cfg = tiny_cfg()
+    model = PersNet(cfg)
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32),
+        "gt_gravity": jnp.asarray(rng.normal(size=(2, 64, 64, 2)), jnp.float32),
+        "gt_latitude": jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 1)), jnp.float32),
+    }
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), sample_batchless_shape=(64, 64, 3)
+    )
+    step = make_train_step(model, tx, cfg)
+    ck = tmp_path / "ckpt"
+    for _ in range(3):
+        state = step(state, batch)[0]
+        save_train_state(state, str(ck), keep=2)
+    dirs = sorted(d for d in os.listdir(ck) if d.startswith("step_"))
+    assert dirs == ["step_00000002", "step_00000003"]  # keep=2 pruned step 1
+
+    # corrupt the newest: restore must fall back to step 2 with a warning
+    newest = ck / "step_00000003"
+    for item in list(newest.iterdir()):
+        if item.is_dir():
+            shutil.rmtree(item)
+        else:
+            item.unlink()
+    (newest / "garbage").write_text("x")
+    template, _ = create_train_state(
+        model, jax.random.PRNGKey(1), sample_batchless_shape=(64, 64, 3)
+    )
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        restored = restore_train_state(str(ck), template)
+    assert int(restored.step) == 2
+    assert any("unusable" in str(r.message) for r in rec)

@@ -120,3 +120,22 @@ def test_latitude_loss_zero_at_perfect():
     gt = rng.uniform(-1, 1, size=(1, 16, 16, 1)).astype(np.float32)
     losses = latitude_regression_loss(gt, gt)
     assert float(sum(losses.values())) < 1e-10
+
+
+def test_data_iterator_seekable():
+    """Batch i is a pure function of (key, i): an iterator created with
+    start_step=k yields exactly what the k-th next() of a fresh one does —
+    the resume contract of tools/train.py."""
+    import jax
+
+    from perspectivefields_tpu.data import data_iterator
+
+    it0 = data_iterator(jax.random.PRNGKey(1), batch_size=2, im_hw=(64, 64))
+    for _ in range(3):
+        b3 = next(it0)
+    itk = data_iterator(
+        jax.random.PRNGKey(1), batch_size=2, im_hw=(64, 64), start_step=2
+    )
+    b3_seek = next(itk)
+    for a, b in zip(jax.tree.leaves(b3), jax.tree.leaves(b3_seek)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

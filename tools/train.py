@@ -84,14 +84,22 @@ def main():
     if args.ckpt_dir and os.path.isdir(args.ckpt_dir):
         from perspectivefields_tpu.checkpoint import restore_train_state
 
-        state = restore_train_state(args.ckpt_dir, state)
-        start = int(state.step)
-        print(f"resumed from {args.ckpt_dir} at step {start}")
+        try:
+            state = restore_train_state(args.ckpt_dir, state)
+            start = int(state.step)
+            print(f"resumed from {args.ckpt_dir} at step {start}")
+        except FileNotFoundError:
+            print(f"no restorable checkpoint under {args.ckpt_dir}; starting fresh")
 
     # normalize images like inference does
     mean = jnp.asarray(cfg.pixel_mean)
+    # start_step=start: batch i is a pure function of (key, i), so a
+    # resumed run continues the same data stream it would have seen
     it = data_iterator(
-        jax.random.PRNGKey(1), batch_size=args.batch, im_hw=cfg.resize
+        jax.random.PRNGKey(1),
+        batch_size=args.batch,
+        im_hw=cfg.resize,
+        start_step=start,
     )
 
     t0 = time.time()
