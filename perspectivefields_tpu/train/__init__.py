@@ -11,6 +11,7 @@ from .losses import (
     cross_entropy_loss,
     gravity_regression_loss,
     latitude_regression_loss,
+    meanstd_tanh_norm_loss,
     msgil_norm_loss,
     param_loss,
     total_loss,
@@ -19,6 +20,7 @@ from .train_step import TrainState, create_train_state, make_train_step
 
 __all__ = [
     "msgil_norm_loss",
+    "meanstd_tanh_norm_loss",
     "gravity_regression_loss",
     "latitude_regression_loss",
     "cross_entropy_loss",

@@ -11,6 +11,8 @@ Objectives match the reference's training losses:
   (gravity_head.py:224-232).
 * ParamNet: per-parameter MSE / L1 (reference: param_network.py:102-128,
   233-241).
+* meanstd_tanh_norm_loss — masked MAE + tanh-compressed MAE
+  (reference: loss_fns.py:46-74; train_eval-branch depth objective).
 
 Masking is branch-free (weighted means) so everything jits and shards.
 """
@@ -51,6 +53,34 @@ def msgil_norm_loss(
             diff[:, ::step, ::step, :], mask[:, ::step, ::step, :]
         )
     return total
+
+
+def meanstd_tanh_norm_loss(
+    pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """MAE + tanh-compressed MAE over masked pixels, averaged per image.
+
+    Batch items with <=100 valid pixels are dropped; 0 when none survive.
+    Branch-free (weighted sums) so it jits and shards — the reference's
+    boolean indexing and per-item Python loop
+    (loss_fns.py:46-74, meanstd_tanh_norm_loss) become masked reductions.
+    pred/gt/mask: (B, H, W, C) channels-last.
+    """
+    m = mask.astype(pred.dtype)
+    per_sum = jnp.sum(m, axis=(1, 2, 3))
+    keep = (per_sum > 100).astype(pred.dtype)
+    cnt = jnp.maximum(per_sum, 1.0)
+    mae = jnp.sum(jnp.abs(gt - pred) * m, axis=(1, 2, 3)) / cnt
+    tanh_mae = (
+        jnp.sum(
+            jnp.abs(jnp.tanh(0.01 * gt) - jnp.tanh(0.01 * pred)) * m,
+            axis=(1, 2, 3),
+        )
+        / cnt
+    )
+    nb = jnp.sum(keep)
+    total = jnp.sum((mae + tanh_mae) * keep) / jnp.maximum(nb, 1.0)
+    return jnp.where(nb > 0, total, 0.0)
 
 
 def gravity_regression_loss(

@@ -10,6 +10,7 @@ from perspectivefields_tpu.train import (
     latitude_regression_loss,
     msgil_norm_loss,
 )
+from perspectivefields_tpu.train.losses import meanstd_tanh_norm_loss
 
 
 def torch_msgil(pred, gt, mask, scales=4):
@@ -44,6 +45,48 @@ def test_msgil_matches_torch_oracle():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def torch_meanstd_tanh(pred, gt, mask):
+    """Oracle for the documented loss semantics (loss_fns.py:46-74),
+    channel-first, without the reference's .cuda() on the empty case."""
+    mask_sum = mask.sum(dim=(1, 2, 3))
+    keep = mask_sum > 100
+    if not keep.any():
+        return 0.0
+    mask, pred, gt = mask[keep], pred[keep], gt[keep]
+    b = gt.shape[0]
+    loss = loss_tanh = 0.0
+    for i in range(b):
+        p, g = pred[i][mask[i]], gt[i][mask[i]]
+        loss += (g - p).abs().mean()
+        loss_tanh += ((0.01 * g).tanh() - (0.01 * p).tanh()).abs().mean()
+    return float(loss / b + loss_tanh / b)
+
+
+def test_meanstd_tanh_matches_torch_oracle():
+    rng = np.random.default_rng(7)
+    pred = rng.normal(size=(3, 1, 24, 27)).astype(np.float32) * 30
+    gt = rng.normal(size=(3, 1, 24, 27)).astype(np.float32) * 30
+    mask = rng.uniform(size=(3, 1, 24, 27)) > 0.3
+    mask[1] = False
+    mask[1, 0, :4, :10] = True  # 40 valid pixels < 100 -> item dropped
+    want = torch_meanstd_tanh(
+        torch.from_numpy(pred), torch.from_numpy(gt), torch.from_numpy(mask)
+    )
+    got = float(
+        meanstd_tanh_norm_loss(
+            np.moveaxis(pred, 1, -1), np.moveaxis(gt, 1, -1), np.moveaxis(mask, 1, -1)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_meanstd_tanh_all_invalid_is_zero():
+    pred = np.ones((2, 8, 8, 1), np.float32)
+    gt = np.zeros((2, 8, 8, 1), np.float32)
+    mask = np.zeros((2, 8, 8, 1), bool)
+    assert float(meanstd_tanh_norm_loss(pred, gt, mask)) == 0.0
 
 
 def test_cross_entropy_matches_torch_ignore_index():
