@@ -2,6 +2,5 @@
 
 from .decoder_tail import decoder_tail
 from .fused_attention import fused_attention
-from .sr_attention import sr_attention  # superseded by fused_attention
 
-__all__ = ["fused_attention", "sr_attention", "decoder_tail"]
+__all__ = ["fused_attention", "decoder_tail"]

@@ -114,6 +114,34 @@ def _block_kernel(
     out_ref[:] = (x_res + h).astype(out_ref.dtype)
 
 
+def _xla_reference(x, dwk, dwb, lns, lnb, w1, b1, w2, b2, gamma, eps):
+    """Unfused block with the kernel's exact numerics (f32 accumulation,
+    dtype-matched GELU) — the fallback when a tile cannot fit scoped VMEM."""
+    cdt = x.dtype
+    c = x.shape[-1]
+    z = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        dwk.astype(jnp.float32),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    ) + dwb.astype(jnp.float32)
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(z * z, axis=-1, keepdims=True) - mu * mu
+    y = (z - mu) * jax.lax.rsqrt(var + jnp.float32(eps))
+    y = y * lns.astype(jnp.float32) + lnb.astype(jnp.float32)
+    m = jnp.dot(
+        y.astype(cdt), w1, preferred_element_type=jnp.float32
+    ) + b1.astype(jnp.float32)
+    g = _gelu_f32(m, cdt)
+    h = jnp.dot(
+        g.astype(cdt), w2, preferred_element_type=jnp.float32
+    ) + b2.astype(jnp.float32)
+    h = h * gamma.astype(jnp.float32)
+    return (x.astype(jnp.float32) + h).astype(cdt)
+
+
 def convnext_block_fused(
     x, dwk, dwb, lns, lnb, w1, b1, w2, b2, gamma,
     *, eps=1e-6, th=None, nb=None, interpret=None, pad_lanes=None,
@@ -128,13 +156,55 @@ def convnext_block_fused(
         interpret = jax.default_backend() != "tpu"
     b, h, w, c = x.shape
     c_real = c
+    if pad_lanes is None:
+        pad_lanes = not interpret
+    cpad = -(-c // 128) * 128 if pad_lanes else c
+
+    def _tile_bytes(nb_, th_):
+        # xbuf halo tile (cdt) + out tile (cdt) + dw/LN f32 transients
+        # (acc, y, h ~ 3 copies) + MLP hidden (f32 + cdt copy at 4C) +
+        # weight blocks. Computed with the lane-padded channel count.
+        isz = x.dtype.itemsize
+        wp_ = -(-(w + 6) // 8) * 8
+        return (
+            nb_
+            * (
+                (th_ + 6) * wp_ * cpad * isz
+                + th_ * w * cpad * (isz + 12)
+                + th_ * w * 4 * cpad * (4 + isz)
+            )
+            + 8 * cpad * cpad * isz
+        )
+
+    budget = 11 * 2**20
+    if th is None:
+        th = min(h, max(8, 2048 // w))
+    while h % th:
+        th -= 1
+    if nb is None:
+        nb = max(1, 1024 // (th * max(w, 1)))
+        while b % nb:
+            nb -= 1
+        while nb > 1 and _tile_bytes(nb, th) > budget:
+            nb -= 1
+            while b % nb:
+                nb -= 1
+    while th > 8 and _tile_bytes(nb, th) > budget:
+        nt = th - 1
+        while nt > 1 and h % nt:
+            nt -= 1
+        if nt >= th:
+            break
+        th = nt
+    if not interpret and _tile_bytes(nb, th) > budget:
+        # even the minimal tile overflows scoped VMEM (large-channel stages
+        # at non-default resolutions) — identical-math XLA path instead
+        return _xla_reference(x, dwk, dwb, lns, lnb, w1, b1, w2, b2, gamma, eps)
+
     # Mosaic DMA slices need 128-aligned lane dims: zero-pad channels (and
     # every per-channel parameter) up; padded lanes stay exactly zero end to
     # end (see the moment note in _block_kernel), and the caller's channel
     # slice below restores the original width.
-    if pad_lanes is None:
-        pad_lanes = not interpret
-    cpad = -(-c // 128) * 128 if pad_lanes else c
     if cpad != c:
         pc = ((0, 0), (0, 0), (0, 0), (0, cpad - c))
         x = jnp.pad(x, pc)
@@ -146,14 +216,6 @@ def convnext_block_fused(
         w2 = jnp.pad(w2, ((0, 0), (0, cpad - c)))
         b2 = jnp.pad(b2, (0, cpad - c))
         c = cpad
-    if th is None:
-        th = min(h, max(8, 2048 // w))
-    while h % th:
-        th -= 1
-    if nb is None:
-        nb = max(1, 1024 // (th * max(w, 1)))
-        while b % nb:
-            nb -= 1
     # zero-pad: +3 rows top/bottom; width padded left by 3 and right to the
     # next multiple of 8 past w+3 (Mosaic DMA sublane alignment).
     wp = -(-(w + 6) // 8) * 8

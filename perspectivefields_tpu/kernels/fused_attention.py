@@ -133,10 +133,12 @@ def _kernel(
     o_ref[...] = o
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "force_xla"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "force_xla", "interpret")
+)
 def fused_attention(
     x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads: int, scale: float,
-    force_xla: bool = False, residual=None,
+    force_xla: bool = False, residual=None, interpret: bool = False,
 ):
     """Attention sub-block (projections included) on (B, N, C) tokens.
 
@@ -146,10 +148,13 @@ def fused_attention(
         wq/bq: (C, C)/(C,); wkv/bkv: (C, 2C)/(2C,); wproj/bproj: (C, C)/(C,).
         residual: optional (B, N, C) tensor added to the output inside the
             kernel (the transformer block's pre-LN skip connection).
+        interpret: run the Pallas kernel in interpreter mode (CPU tests of
+            the kernel body — tiling, KV masking, head slicing); without it
+            non-TPU backends take the XLA reference path.
     Returns:
         (B, N, C) — ``residual + attn`` when residual is given, else attn.
     """
-    if force_xla or jax.default_backend() != "tpu":
+    if force_xla or (not interpret and jax.default_backend() != "tpu"):
         out = _xla_reference(
             x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale
         )
@@ -222,5 +227,6 @@ def fused_attention(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, tn, c), lambda i, j: (i, j, 0)),
+        interpret=interpret,
     )(*args)
     return out

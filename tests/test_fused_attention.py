@@ -1,22 +1,111 @@
-"""Fused attention-block kernel: fallback identity + param-tree stability.
+"""Fused attention-block kernel: kernel-body parity (interpret mode),
+fallback identity, and param-tree stability.
 
-On non-TPU backends (these tests run on the CPU mesh) `fused_attention`
-falls back to the unfused XLA path, so here we verify (a) use_pallas=True
-produces identical params AND outputs to use_pallas=False, and (b) the
-kernel's XLA reference matches the inline SRAttention math exactly. The
-on-TPU numeric check (max rel err ~8e-3 at bf16, consistent with bf16
-rounding) runs in tools/bench_fused_attn.py.
+The interpret-mode tests run the actual Pallas kernel body (_kernel) on CPU
+— multi-head static slicing, KV sublane padding + -inf masking, bb/tn
+tiling, the in-kernel residual fold, and the oversize-VMEM fallback gate —
+against _xla_reference. The on-TPU numeric check (max rel err ~8e-3 at
+bf16, consistent with bf16 rounding) runs in tools/bench_fused_attn.py.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from perspectivefields_tpu.kernels.fused_attention import (
     _xla_reference,
     fused_attention,
 )
 from perspectivefields_tpu.models.mit import SRAttention
+
+
+def _attn_inputs(rng, b, n, m, c):
+    f32 = jnp.float32
+    return dict(
+        x=jnp.asarray(rng.normal(size=(b, n, c)), f32),
+        kv_in=jnp.asarray(rng.normal(size=(b, m, c)), f32),
+        wq=jnp.asarray(rng.normal(size=(c, c)) * 0.05, f32),
+        bq=jnp.asarray(rng.normal(size=(c,)) * 0.01, f32),
+        wkv=jnp.asarray(rng.normal(size=(c, 2 * c)) * 0.05, f32),
+        bkv=jnp.asarray(rng.normal(size=(2 * c,)) * 0.01, f32),
+        wproj=jnp.asarray(rng.normal(size=(c, c)) * 0.05, f32),
+        bproj=jnp.asarray(rng.normal(size=(c,)) * 0.01, f32),
+    )
+
+
+@pytest.mark.parametrize(
+    "b,n,m,c,heads",
+    [
+        (1, 16, 8, 64, 1),       # single head, aligned KV
+        (2, 16, 5, 128, 2),      # multi-head slicing + KV pad 5->8 masking
+        (4, 64, 7, 64, 1),       # bb > 1 batch tiling + KV masking
+        (2, 100, 4, 128, 2),     # stage-3-like shapes (N=100 tokens, M=4)
+    ],
+)
+def test_kernel_body_matches_xla_reference(b, n, m, c, heads):
+    rng = np.random.default_rng(b * 1000 + n + m + c + heads)
+    kw = _attn_inputs(rng, b, n, m, c)
+    scale = (c // heads) ** -0.5
+    got = fused_attention(num_heads=heads, scale=scale, interpret=True, **kw)
+    want = _xla_reference(num_heads=heads, scale=scale, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_kernel_body_tn_tiling_large_n():
+    """N > 2048 engages the tn query-tile split (tn = largest divisor
+    <= 1600 -> 1280 here), the stage-1/2 shape class."""
+    rng = np.random.default_rng(11)
+    b, n, m, c, heads = 1, 2560, 10, 64, 1
+    kw = _attn_inputs(rng, b, n, m, c)
+    scale = (c // heads) ** -0.5
+    got = fused_attention(num_heads=heads, scale=scale, interpret=True, **kw)
+    want = _xla_reference(num_heads=heads, scale=scale, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_kernel_body_residual_fold():
+    rng = np.random.default_rng(12)
+    b, n, m, c, heads = 2, 24, 6, 128, 2
+    kw = _attn_inputs(rng, b, n, m, c)
+    res = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    scale = (c // heads) ** -0.5
+    got = fused_attention(
+        num_heads=heads, scale=scale, interpret=True, residual=res, **kw
+    )
+    want = res + _xla_reference(num_heads=heads, scale=scale, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_oversize_tile_falls_back_to_xla(monkeypatch):
+    """When even a single batch item overflows the VMEM budget the function
+    must take the XLA path without ever building a Pallas program — and
+    conversely a small shape must reach pallas_call."""
+    import importlib
+
+    # the kernels package re-exports the function under the same name, so a
+    # plain dotted import resolves to the function — fetch the module itself
+    fa = importlib.import_module("perspectivefields_tpu.kernels.fused_attention")
+
+    calls = []
+    real = fa.pl.pallas_call
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", spy)
+    rng = np.random.default_rng(13)
+    # per_bb = tn*(c*24 + mpad*8) at f32; tn=n=2048, c=512 -> ~25 MB > budget
+    kw = _attn_inputs(rng, 1, 2048, 8, 512)
+    got = fused_attention(num_heads=1, scale=512**-0.5, interpret=True, **kw)
+    want = _xla_reference(num_heads=1, scale=512**-0.5, **kw)
+    assert not calls, "oversize shape should not reach pallas_call"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+    kw2 = _attn_inputs(rng, 1, 32, 8, 64)
+    fused_attention(num_heads=1, scale=64**-0.5, interpret=True, **kw2)
+    assert calls, "small shape should use the Pallas kernel"
 
 
 def test_use_pallas_param_tree_and_fallback_identity(monkeypatch):
