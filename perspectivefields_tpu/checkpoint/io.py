@@ -117,15 +117,21 @@ def restore_train_state(path: str, template_state):
             )
         ]
     candidates.append(base)  # legacy layout
+    last_exc = None
     for cand in candidates:
         try:
             tree = ckptr.restore(cand, abstract)
         except Exception as exc:
-            if cand != base:
-                warnings.warn(
-                    f"checkpoint {cand} unusable ({exc!r}); trying older",
-                    stacklevel=2,
-                )
+            last_exc = exc
+            warnings.warn(
+                f"checkpoint {cand} unusable ({exc!r})"
+                + ("; trying older" if cand != base else ""),
+                stacklevel=2,
+            )
             continue
         return TrainState(tree["params"], tree["opt_state"], tree["step"])
-    raise FileNotFoundError(f"no restorable checkpoint under {base}")
+    # chain the real failure (e.g. a structural mismatch against the current
+    # model/optimizer config) so callers don't mistake it for "no file"
+    raise FileNotFoundError(
+        f"no restorable checkpoint under {base}"
+    ) from last_exc

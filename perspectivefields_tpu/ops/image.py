@@ -218,7 +218,10 @@ def resize_bilinear(
     # 0.25/0.75 to zero in the input dtype).
     if not jnp.issubdtype(x.dtype, jnp.floating):
         x = x.astype(jnp.float32)
-    wide = x.shape[-1] >= 8
+    # An explicit precision override (e.g. 'highest' on bf16 input) asks for
+    # the matmul path's accumulate-in-f32 semantics — the elementwise 2x fast
+    # paths round per-op in the input dtype, so they only apply to "auto".
+    wide = x.shape[-1] >= 8 and precision in (None, "auto")
     if wide and method == "torch_bilinear" and out_h == 2 * h and out_w == 2 * w:
         return _up2x_axis_torch(_up2x_axis_torch(x, -3), -2)
     if (

@@ -58,6 +58,35 @@ def test_fused_block_matches_flax(h, w, c, th, nb, pad):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_xla_fallback_matches_flax():
+    """The oversize-tile XLA fallback (_xla_reference) must match the flax
+    block like the kernel does — it's what large-channel stages get on TPU
+    when even a minimal tile overflows scoped VMEM."""
+    from perspectivefields_tpu.kernels.convnext_block import _xla_reference
+
+    rng = np.random.default_rng(2)
+    h, w, c = 12, 10, 8
+    x = jnp.asarray(rng.normal(size=(2, h, w, c)), jnp.float32)
+    blk = ConvNeXtBlock(c)
+    p = _rand_params(blk.init(jax.random.PRNGKey(1), x), rng)
+    ref = blk.apply(p, x)
+    q = p["params"]
+    got = _xla_reference(
+        x,
+        q["dwconv"]["kernel"],
+        q["dwconv"]["bias"],
+        q["norm"]["scale"],
+        q["norm"]["bias"],
+        q["pwconv1"]["kernel"],
+        q["pwconv1"]["bias"],
+        q["pwconv2"]["kernel"],
+        q["pwconv2"]["bias"],
+        q["gamma"],
+        1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_fused_flag_same_tree_and_output():
     """ConvNeXt(fused_blocks=True) has the identical param tree and (in
     interpret-capable sizes) output as the unfused model."""

@@ -88,7 +88,18 @@ def main():
             state = restore_train_state(args.ckpt_dir, state)
             start = int(state.step)
             print(f"resumed from {args.ckpt_dir} at step {start}")
-        except FileNotFoundError:
+        except FileNotFoundError as exc:
+            has_steps = any(
+                d.startswith("step_") for d in os.listdir(args.ckpt_dir)
+            )
+            if has_steps:
+                # checkpoints exist but none restored (config mismatch?) —
+                # silently restarting from step 0 would clobber the run
+                raise SystemExit(
+                    f"checkpoints exist under {args.ckpt_dir} but none "
+                    f"restored ({exc.__cause__!r}); refusing to start fresh. "
+                    "Point --ckpt-dir elsewhere to begin a new run."
+                )
             print(f"no restorable checkpoint under {args.ckpt_dir}; starting fresh")
 
     # normalize images like inference does
