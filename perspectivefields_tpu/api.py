@@ -23,12 +23,15 @@ from __future__ import annotations
 
 import functools
 import os
+import pickle
 import warnings
+import zipfile
 from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .checkpoint.io import load_params
 from .config import ModelConfig, model_zoo
@@ -37,6 +40,20 @@ from .ops.image import pil_resize_uint8, resize_bilinear
 from .ops.postprocess import postprocess_gravity, postprocess_latitude
 
 _WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
+
+# Errors that mean "this weights file is malformed" (truncated download,
+# captive-portal HTML, wrong format) — the only ones that justify
+# quarantining a cached file. Environmental failures (ImportError when torch
+# is missing for a .pth, MemoryError mid-conversion, OSError) propagate so a
+# valid file is never renamed .corrupt over a transient problem.
+_PARSE_ERRORS = (
+    KeyError,
+    ValueError,
+    RuntimeError,
+    EOFError,
+    zipfile.BadZipFile,
+    pickle.UnpicklingError,
+)
 
 
 def _try_download(url: str, dest: str, timeout: float = 10.0) -> bool:
@@ -102,10 +119,13 @@ class PerspectiveFields:
             (.npz / orbax dir). Defaults to
             ``perspectivefields_tpu/weights/<version>.npz`` if present, else
             random init (with a warning — fields will be meaningless).
-        compute_dtype: "bfloat16" (fast TPU path) or "float32" (parity).
+        compute_dtype: "bfloat16" (fast TPU path) or "float32" (parity —
+            bit-stable vs the XLA einsum path as long as use_pallas stays
+            at its default/False).
         use_pallas: fused attention-block Pallas kernel (projections +
-            softmax, VMEM-resident). Default: on when running on TPU; it
+            softmax, VMEM-resident). Default: on for bfloat16 on TPU; it
             self-gates to shapes where it wins and XLA handles the rest.
+            float32 defaults off to preserve the parity contract.
         fuse_ffn / fuse_convnext: fused MixFFN / ConvNeXt-block Pallas
             kernels (inference-only; identical param trees). Measured to
             roughly tie XLA on v5e (PERF_NOTES.md), so default off.
@@ -124,13 +144,19 @@ class PerspectiveFields:
         fuse_ffn: bool = False,
         fuse_convnext: bool = False,
     ):
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
         if use_pallas is None:
             # the fused attention-block kernel (projections + softmax in one
             # VMEM-resident Pallas program) beats XLA at the latency-bound
             # later backbone stages (+~15 ms/batch @B128; PERF_NOTES.md);
             # it gates itself to suitable shapes and falls back to XLA
             # elsewhere. Inference-only (no VJP) — exactly this API's use.
-            use_pallas = jax.default_backend() == "tpu"
+            # Default-on only for bfloat16: float32 is the documented
+            # bit-parity mode and the kernel's f32 numerics differ from the
+            # XLA einsum chain in last-ulp rounding.
+            use_pallas = (
+                jax.default_backend() == "tpu" and dtype == jnp.bfloat16
+            )
         if config is None:
             if version not in model_zoo:
                 raise ValueError(
@@ -142,7 +168,6 @@ class PerspectiveFields:
         self.param_on = config.param_on
         self.input_format = config.input_format
         self.device_preprocess = device_preprocess
-        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
         self.model = PersNet(
             config,
             dtype=dtype,
@@ -172,7 +197,7 @@ class PerspectiveFields:
             if os.path.exists(cand):
                 try:
                     return self._load_any(cand)
-                except Exception as exc:  # corrupt cache — not user-passed
+                except _PARSE_ERRORS as exc:  # corrupt cache — not user-passed
                     quarantined = cand + ".corrupt"
                     try:
                         os.replace(cand, quarantined)
@@ -191,7 +216,7 @@ class PerspectiveFields:
             if _try_download(url, dest):
                 try:
                     return self._load_any(dest)
-                except Exception as exc:
+                except _PARSE_ERRORS as exc:
                     try:
                         os.replace(dest, dest + ".corrupt")
                     except OSError:
@@ -281,6 +306,50 @@ class PerspectiveFields:
         return jax.jit(post)
 
     @functools.cached_property
+    def _data_mesh(self) -> Optional[Mesh]:
+        """1-D data mesh over all local devices (None when single-device)."""
+        devs = jax.devices()
+        if len(devs) <= 1:
+            return None
+        return Mesh(np.array(devs), ("data",))
+
+    @functools.cached_property
+    def _replicated_params(self):
+        """Params replicated across the data mesh (placed once, reused)."""
+        return jax.device_put(
+            self.params, NamedSharding(self._data_mesh, P())
+        )
+
+    def _forward_batched(self, net_in, prenormalized: bool = False):
+        """Run the jit forward over the data mesh when one exists.
+
+        The batch dim is sharded over all devices (tail zero-padded to a
+        multiple of the axis size and sliced back off); single-device setups
+        take the plain path. GSPMD partitions the program from the committed
+        input/param shardings — inference is embarrassingly data-parallel,
+        so the compiled program contains no collectives.
+        """
+        fn = self._forward_prenormalized_fn if prenormalized else self._forward_fn
+        mesh = self._data_mesh
+        if mesh is None:
+            return fn(self.params, jnp.asarray(net_in))
+        b = net_in.shape[0]
+        n = mesh.devices.size
+        net_in = jnp.asarray(net_in)
+        pad = (-b) % n
+        if pad:
+            net_in = jnp.concatenate(
+                [net_in, jnp.zeros((pad,) + net_in.shape[1:], net_in.dtype)]
+            )
+        x = jax.device_put(
+            net_in, NamedSharding(mesh, P("data", *[None] * (net_in.ndim - 1)))
+        )
+        raw = fn(self._replicated_params, x)
+        if pad:
+            raw = jax.tree.map(lambda a: a[:b], raw)
+        return raw
+
+    @functools.cached_property
     def _device_resize_fn(self):
         """jit per input size: uint8 NHWC batch -> float net-res batch."""
         h, w = self.cfg.resize
@@ -363,14 +432,14 @@ class PerspectiveFields:
                     bgr_flip=self.input_format == "RGB",
                 )
             )
-            raw = self._forward_prenormalized_fn(self.params, net_in)
+            raw = self._forward_batched(net_in, prenormalized=True)
             return self._package_results(raw, img_bgr_list, sizes, channels_first)
         else:
             net_in = jnp.asarray(
                 np.stack([self._preprocess_host(img) for img in img_bgr_list])
             )
 
-        raw = self._forward_fn(self.params, net_in)
+        raw = self._forward_batched(net_in)
         return self._package_results(raw, img_bgr_list, sizes, channels_first)
 
     def _package_results(

@@ -102,6 +102,64 @@ def test_batch_consistent_with_single(tiny_api):
     )
 
 
+def test_batch_shards_over_data_mesh(tiny_api):
+    """On the 8-device CPU mesh inference_batch must (a) feed the forward a
+    batch sharded over all devices, (b) pad a non-divisible batch and slice
+    it back, and (c) match the single-device (mesh-disabled) path."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert jax.device_count() == 8
+    assert tiny_api._data_mesh is not None
+
+    rng = np.random.default_rng(5)
+    imgs = [
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8) for _ in range(5)
+    ]
+
+    # spy on both cached jit forwards (uniform uint8 input takes the native
+    # prenormalized branch; other inputs the plain one) to capture the input
+    # sharding of whichever one _forward_batched dispatches to
+    captured = {}
+    real_fns = {
+        name: getattr(tiny_api, name)
+        for name in ("_forward_fn", "_forward_prenormalized_fn")
+    }
+
+    def make_spy(fn):
+        def spy(params, x):
+            captured["sharding"] = x.sharding
+            captured["batch"] = x.shape[0]
+            return fn(params, x)
+
+        return spy
+
+    for name, fn in real_fns.items():
+        tiny_api.__dict__[name] = make_spy(fn)
+    try:
+        sharded = tiny_api.inference_batch(imgs)
+    finally:
+        for name, fn in real_fns.items():
+            tiny_api.__dict__[name] = fn
+    expect = NamedSharding(tiny_api._data_mesh, P("data", None, None, None))
+    assert captured["sharding"].is_equivalent_to(expect, 4)
+    assert captured["batch"] == 8  # 5 padded up to the axis size
+
+    # single-device reference: same object with the mesh forced off
+    tiny_api.__dict__["_data_mesh"] = None
+    try:
+        plain = tiny_api.inference_batch(imgs)
+    finally:
+        del tiny_api.__dict__["_data_mesh"]
+    for got, want in zip(sharded, plain):
+        np.testing.assert_allclose(
+            got["pred_gravity_original"], want["pred_gravity_original"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(got["pred_roll"]), float(want["pred_roll"]), atol=1e-3
+        )
+
+
 def test_unknown_version_raises():
     with pytest.raises(ValueError, match="unknown version"):
         PerspectiveFields(version="not-a-model")
