@@ -1,0 +1,176 @@
+"""One-shot weights pipeline: download -> convert -> parity -> golden tuple.
+
+The released checkpoints are the one ground truth this zero-egress
+environment cannot reach (VERDICT r2, Missing #1). The moment egress exists,
+this script closes the loop in one command:
+
+    python tools/fetch_and_verify.py            # all 5 zoo versions
+    python tools/fetch_and_verify.py --versions Paramnet-360Cities-edina-centered
+
+Per version it (a) downloads the released ``.pth`` from the model-zoo URL
+(reference: perspectivefields.py:178-192) unless already cached, (b) converts
+it to ``.npz`` (tools/convert_checkpoint.py), (c) runs field parity between
+the reference's own torch graph and ours with the REAL weights on the bundled
+asset image (north star: <=0.1 deg angular error, BASELINE.md), and (d) runs
+the demo golden tuple (reference demo/demo.py:157-161: roll 4.54 /
+pitch 48.88 / vfov 52.82 / cx 0 / cy 0) for the centered paramnet model.
+
+Offline it degrades gracefully: versions without cached weights are reported
+SKIPPED (no egress) and the exit code stays 0 unless an *executed* check
+fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+GOLDEN_VERSION = "Paramnet-360Cities-edina-centered"
+GOLDEN_IMAGE = "/root/reference/assets/imgs/cityscape.jpg"
+GOLDEN = {"pred_roll": 4.54, "pred_pitch": 48.88, "pred_general_vfov": 52.82,
+          "pred_rel_cx": 0.0, "pred_rel_cy": 0.0}
+
+
+def fetch(version: str) -> str | None:
+    """Return a local weights path for `version`, downloading if needed."""
+    from perspectivefields_tpu import api
+    from perspectivefields_tpu.config import model_zoo
+
+    for ext in (".npz", ".pth"):
+        cand = os.path.join(api._WEIGHTS_DIR, version + ext)
+        if os.path.exists(cand):
+            return cand
+    url = model_zoo[version].get("weights_url")
+    dest = os.path.join(api._WEIGHTS_DIR, version + ".pth")
+    os.makedirs(api._WEIGHTS_DIR, exist_ok=True)
+    if url and api._try_download(url, dest, timeout=60.0):
+        return dest
+    return None
+
+
+def convert(version: str) -> None:
+    """Materialize the .npz next to the .pth (idempotent)."""
+    from convert_checkpoint import convert_one  # tools/convert_checkpoint.py
+
+    from perspectivefields_tpu import api
+
+    npz = os.path.join(api._WEIGHTS_DIR, version + ".npz")
+    if not os.path.exists(npz):
+        convert_one(version)
+
+
+def field_parity(version: str, image_path: str) -> float:
+    """Max angular error (deg) between the reference torch graph and ours,
+    both loaded with the REAL released weights, on one image."""
+    import cv2
+    import numpy as np
+    import torch
+
+    from test_reference_parity import _import_reference  # tests/
+
+    from perspectivefields_tpu import PerspectiveFields, api
+
+    img = cv2.imread(image_path)
+    ours = PerspectiveFields(version, compute_dtype="float32")
+    pred = ours.inference(img_bgr=img)
+
+    RefPF = _import_reference()
+    orig = RefPF._init_weights
+    RefPF._init_weights = lambda self: None
+    try:
+        ref = RefPF(version).eval().float()
+    finally:
+        RefPF._init_weights = orig
+    pth = os.path.join(api._WEIGHTS_DIR, version + ".pth")
+    sd = torch.load(pth, map_location="cpu", weights_only=False)
+    ref.load_state_dict(sd.get("model", sd), strict=False)
+    with torch.no_grad():
+        rpred = ref.inference(img_bgr=img)
+
+    up_r = rpred["pred_gravity_original"].cpu().numpy()  # (2,H,W)
+    up_o = np.moveaxis(pred["pred_gravity_original"], -1, 0)
+    cos = np.clip((up_r * up_o).sum(0), -1.0, 1.0)
+    up_err = np.degrees(np.arccos(cos)).max()
+    lat_r = rpred["pred_latitude_original"].cpu().numpy()
+    lat_err = np.abs(lat_r - pred["pred_latitude_original"]).max()
+    return float(max(up_err, lat_err))
+
+
+def golden_check() -> dict:
+    import cv2
+
+    from perspectivefields_tpu import PerspectiveFields
+
+    model = PerspectiveFields(GOLDEN_VERSION, compute_dtype="float32")
+    pred = model.inference(img_bgr=cv2.imread(GOLDEN_IMAGE))
+    return {k: float(pred[k]) for k in GOLDEN}
+
+
+def main() -> int:
+    from perspectivefields_tpu.config import model_zoo
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--versions", nargs="*", default=list(model_zoo))
+    ap.add_argument("--image", default=GOLDEN_IMAGE,
+                    help="asset image for the field-parity check")
+    ap.add_argument("--tol-deg", type=float, default=0.1,
+                    help="max allowed field angular error (deg)")
+    args = ap.parse_args()
+
+    failures, ran = [], 0
+    for version in args.versions:
+        path = fetch(version)
+        if path is None:
+            print(f"[SKIP] {version}: weights unavailable (no egress?)")
+            continue
+        ran += 1
+        try:
+            if path.endswith(".pth"):
+                convert(version)
+            if os.path.exists(args.image) and os.path.exists(
+                os.path.join(os.path.dirname(path), version + ".pth")
+            ):
+                err = field_parity(version, args.image)
+                ok = err <= args.tol_deg
+                print(f"[{'OK' if ok else 'FAIL'}] {version}: "
+                      f"max field error {err:.4f} deg (tol {args.tol_deg})")
+                if not ok:
+                    failures.append(f"{version}: field error {err:.4f} deg")
+            else:
+                print(f"[OK] {version}: weights ready (parity inputs missing)")
+        except Exception as exc:  # keep going; report at the end
+            print(f"[FAIL] {version}: {exc!r}")
+            failures.append(f"{version}: {exc!r}")
+
+    if GOLDEN_VERSION in args.versions and os.path.exists(
+        os.path.join(_REPO, "perspectivefields_tpu", "weights",
+                     GOLDEN_VERSION + ".npz")
+    ) and os.path.exists(GOLDEN_IMAGE):
+        try:
+            got = golden_check()
+            bad = {k: (got[k], want) for k, want in GOLDEN.items()
+                   if abs(got[k] - want) > (0.05 if want else 0.005)}
+            if bad:
+                failures.append(f"golden tuple mismatch: {bad}")
+                print(f"[FAIL] golden tuple: {bad}")
+            else:
+                print(f"[OK] golden tuple: {got}")
+        except Exception as exc:
+            failures.append(f"golden tuple: {exc!r}")
+            print(f"[FAIL] golden tuple: {exc!r}")
+
+    if failures:
+        print(f"\n{len(failures)} failure(s):\n  " + "\n  ".join(failures))
+        return 1
+    print(f"\nall executed checks passed ({ran} version(s) verified)"
+          if ran else "\nnothing verified (offline) — rerun with egress")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
