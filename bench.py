@@ -147,10 +147,19 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     best = 0.0
     results = []
-    # One config: B=128 beats 256 (PERF_NOTES.md) and every extra config is
-    # another multi-minute cold compile through the relay. use_pallas=True =
-    # the fused attention-block kernel (the API default on TPU).
-    configs = [(128, True)] if on_tpu else [(2, False)]
+    # One config by default: B=128 beats 96/160/192/256 (PERF_NOTES.md batch
+    # sweeps) and every extra config is another multi-minute cold compile
+    # through the relay. use_pallas=True = the fused attention-block kernel
+    # (the API default on TPU). Override with BENCH_CONFIGS="128:1,160:1"
+    # (batch:use_pallas pairs) for occasional multi-config regression runs.
+    env_cfg = os.environ.get("BENCH_CONFIGS")
+    if env_cfg:
+        configs = [
+            (int(b), bool(int(p)))
+            for b, p in (tok.split(":") for tok in env_cfg.split(","))
+        ]
+    else:
+        configs = [(128, True)] if on_tpu else [(2, False)]
     for batch, use_pallas in configs:
         try:
             fn, params, batches = build(batch, use_pallas)

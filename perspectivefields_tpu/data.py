@@ -108,6 +108,31 @@ def synthetic_pano(key, ph: int = 512, pw: int = 1024) -> jnp.ndarray:
     return jnp.clip(base + noise, 0, 255)
 
 
+def make_step_batch_fn(
+    key,
+    batch_size: int = 16,
+    im_hw=(320, 320),
+    pano: Optional[jnp.ndarray] = None,
+    **gen_kwargs,
+):
+    """Traceable (step: int32 scalar) -> batch, for fusing data generation
+    INTO the jit train loop (train.make_train_loop).
+
+    Uses the identical key-split / fold_in convention as `data_iterator`, so
+    the fused loop consumes the exact same seekable stream: batch i is a
+    pure function of (key, i) either way.
+    """
+    gen = make_batch_generator(im_hw[0], im_hw[1], **gen_kwargs)
+    pano_key, batch_key = jax.random.split(key)
+    if pano is None:
+        pano = synthetic_pano(pano_key)
+
+    def batch_fn(step):
+        return gen(jax.random.fold_in(batch_key, step), pano, batch_size)
+
+    return batch_fn
+
+
 def data_iterator(
     key,
     batch_size: int = 16,

@@ -16,7 +16,12 @@ from .losses import (
     param_loss,
     total_loss,
 )
-from .train_step import TrainState, create_train_state, make_train_step
+from .train_step import (
+    TrainState,
+    create_train_state,
+    make_train_loop,
+    make_train_step,
+)
 
 __all__ = [
     "msgil_norm_loss",
@@ -29,4 +34,5 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_train_loop",
 ]

@@ -53,20 +53,7 @@ def create_train_state(
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
-def make_train_step(
-    model,
-    tx: optax.GradientTransformation,
-    cfg,
-    mesh: Optional[Mesh] = None,
-    loss_fn: Callable = total_loss,
-):
-    """Build the jit train step: (state, batch) -> (state, metrics).
-
-    batch: dict with 'image' (B, H, W, 3) normalized NHWC + gt_* targets (see
-    losses.total_loss). With a mesh, inputs are constrained to the 'data' axis
-    and the optimizer update runs in the same XLA program (no host sync).
-    """
-
+def _make_step_body(model, tx, cfg, mesh, loss_fn):
     def step(state: TrainState, batch):
         images = batch["image"]
         if mesh is not None:
@@ -90,4 +77,59 @@ def make_train_step(
         metrics = {"loss": loss, **parts}
         return TrainState(new_params, new_opt, state.step + 1), metrics
 
+    return step
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg,
+    mesh: Optional[Mesh] = None,
+    loss_fn: Callable = total_loss,
+):
+    """Build the jit train step: (state, batch) -> (state, metrics).
+
+    batch: dict with 'image' (B, H, W, 3) normalized NHWC + gt_* targets (see
+    losses.total_loss). With a mesh, inputs are constrained to the 'data' axis
+    and the optimizer update runs in the same XLA program (no host sync).
+    """
+    step = _make_step_body(model, tx, cfg, mesh, loss_fn)
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_train_loop(
+    model,
+    tx: optax.GradientTransformation,
+    cfg,
+    batch_fn: Callable,
+    chunk: int,
+    mesh: Optional[Mesh] = None,
+    loss_fn: Callable = total_loss,
+    prepare: Optional[Callable] = None,
+):
+    """Build a fused jit loop: (state) -> (state, stacked metrics).
+
+    Runs `chunk` iterations of (generate batch -> train step) inside ONE
+    XLA program via lax.scan — data generation is compiled into the same
+    program as the step, so it overlaps with compute instead of serializing
+    as a separate dispatch, and the per-call dispatch overhead (~30 ms via
+    the axon relay, PERF_NOTES.md) is amortized chunk-fold.
+
+    batch_fn: traceable (step: int32 scalar) -> batch dict keyed by the
+    absolute step index (data.make_step_batch_fn) — the stream stays
+    seekable across restarts exactly like data_iterator's.
+    prepare: optional traceable batch transform (e.g. mean-subtraction).
+    """
+    step_body = _make_step_body(model, tx, cfg, mesh, loss_fn)
+
+    def loop(state: TrainState):
+        def body(st, _):
+            batch = batch_fn(st.step)
+            if prepare is not None:
+                batch = prepare(batch)
+            return step_body(st, batch)
+
+        state2, metrics = jax.lax.scan(body, state, None, length=chunk)
+        return state2, metrics
+
+    return jax.jit(loop, donate_argnums=(0,))

@@ -182,3 +182,76 @@ def test_data_iterator_seekable():
     b3_seek = next(itk)
     for a, b in zip(jax.tree.leaves(b3), jax.tree.leaves(b3_seek)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_train_loop_matches_unfused():
+    """make_train_loop (datagen + chunk steps in one scanned XLA program)
+    must consume the same seekable stream and produce the same state as the
+    legacy per-step path — the throughput fusion cannot change training
+    semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from perspectivefields_tpu.config import (
+        BackboneConfig,
+        GravityHeadConfig,
+        LatitudeHeadConfig,
+        ModelConfig,
+        ParamNetConfig,
+    )
+    from perspectivefields_tpu.data import data_iterator, make_step_batch_fn
+    from perspectivefields_tpu.models import PersNet
+    from perspectivefields_tpu.train import (
+        create_train_state,
+        make_train_loop,
+        make_train_step,
+    )
+
+    cfg = ModelConfig(
+        backbone=BackboneConfig(dims=(8, 16, 24, 32), depths=(1, 1, 1, 1), num_heads=(1, 2, 3, 4)),
+        gravity=GravityHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        latitude=LatitudeHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        param=ParamNetConfig(
+            name="ParamNetConvNextRegress", predict_params=("roll", "pitch", "vfov"), input_size=32
+        ),
+        recover_rpf=True,
+        resize=(64, 64),
+    )
+    model = PersNet(cfg)
+    mean = jnp.asarray(cfg.pixel_mean)
+
+    def prepare(batch):
+        batch = dict(batch, image=(batch["image"] - mean))
+        batch.pop("cams")
+        return batch
+
+    chunk = 3
+    # legacy path
+    state_a, tx = create_train_state(
+        model, jax.random.PRNGKey(0), sample_batchless_shape=(64, 64, 3)
+    )
+    step = make_train_step(model, tx, cfg)
+    it = data_iterator(jax.random.PRNGKey(1), batch_size=2, im_hw=(64, 64))
+    losses_a = []
+    for _ in range(chunk):
+        state_a, m = step(state_a, prepare(next(it)))
+        losses_a.append(float(m["loss"]))
+
+    # fused path (fresh identical state; create_train_state is deterministic)
+    state_b, tx2 = create_train_state(
+        model, jax.random.PRNGKey(0), sample_batchless_shape=(64, 64, 3)
+    )
+    batch_fn = make_step_batch_fn(jax.random.PRNGKey(1), batch_size=2, im_hw=(64, 64))
+    loop = make_train_loop(model, tx2, cfg, batch_fn, chunk, prepare=prepare)
+    state_b, metrics = loop(state_b)
+
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), np.asarray(losses_a), rtol=2e-5
+    )
+    assert int(state_b.step) == int(state_a.step) == chunk
+    # Param tolerance is lr-scale (lr=1e-4, 3 steps): AdamW's m/(sqrt(v)+eps)
+    # maps fp-reassociation noise in near-zero gradients to O(lr) update
+    # flips under a different compilation (scan body vs separate jits); the
+    # tight loss-trajectory match above is the semantic-equality check.
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -36,6 +36,13 @@ def main():
         "--ckpt-dir", default=None, help="orbax dir for save/resume of the full TrainState"
     )
     ap.add_argument("--ckpt-every", type=int, default=100)
+    ap.add_argument(
+        "--chunk",
+        type=int,
+        default=10,
+        help="steps fused per jit call (datagen compiled into the loop); "
+        "1 = legacy unfused path",
+    )
     args = ap.parse_args()
 
     from perspectivefields_tpu.config import (
@@ -45,10 +52,14 @@ def main():
         ModelConfig,
         ParamNetConfig,
     )
-    from perspectivefields_tpu.data import data_iterator
+    from perspectivefields_tpu.data import data_iterator, make_step_batch_fn
     from perspectivefields_tpu.models import PersNet
     from perspectivefields_tpu.parallel import make_mesh
-    from perspectivefields_tpu.train import create_train_state, make_train_step
+    from perspectivefields_tpu.train import (
+        create_train_state,
+        make_train_loop,
+        make_train_step,
+    )
 
     backbone = (
         BackboneConfig(dims=(8, 16, 24, 32), depths=(1, 1, 1, 1), num_heads=(1, 2, 3, 4))
@@ -78,7 +89,6 @@ def main():
         learning_rate=args.lr,
         mesh=mesh,
     )
-    step_fn = make_train_step(model, tx, cfg, mesh=mesh)
 
     start = 0
     if args.ckpt_dir and os.path.isdir(args.ckpt_dir):
@@ -104,30 +114,59 @@ def main():
 
     # normalize images like inference does
     mean = jnp.asarray(cfg.pixel_mean)
-    # start_step=start: batch i is a pure function of (key, i), so a
-    # resumed run continues the same data stream it would have seen
-    it = data_iterator(
-        jax.random.PRNGKey(1),
-        batch_size=args.batch,
-        im_hw=cfg.resize,
-        start_step=start,
-    )
 
-    t0 = time.time()
-    for i in range(start, args.steps):
-        batch = next(it)
-        batch = dict(batch, image=(batch["image"] - mean))
-        batch.pop("cams")
-        state, metrics = step_fn(state, batch)
-        if (i + 1) % args.log_every == 0 or i == start:
-            loss = float(metrics["loss"])
-            rate = args.batch * (i + 1 - start) / (time.time() - t0)
-            print(f"step {i + 1:5d}  loss {loss:.4f}  ({rate:.1f} img/s)", flush=True)
+    def maybe_ckpt(i):
         if args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
             from perspectivefields_tpu.checkpoint import save_train_state
 
             save_train_state(state, args.ckpt_dir)
             print(f"checkpointed step {i + 1} -> {args.ckpt_dir}", flush=True)
+
+    t0 = time.time()
+    if args.chunk > 1:
+        # fused path: data generation + `chunk` train steps in one XLA
+        # program (lax.scan) — datagen overlaps compute, dispatch amortized.
+        # Same seekable stream as the legacy path (batch i = f(key, i)).
+        batch_fn = make_step_batch_fn(
+            jax.random.PRNGKey(1), batch_size=args.batch, im_hw=cfg.resize
+        )
+
+        def prepare(batch):
+            batch = dict(batch, image=(batch["image"] - mean))
+            batch.pop("cams")
+            return batch
+
+        loop_fn = make_train_loop(
+            model, tx, cfg, batch_fn, args.chunk, mesh=mesh, prepare=prepare
+        )
+        i = start
+        while i < args.steps:
+            state, metrics = loop_fn(state)
+            i += args.chunk
+            loss = float(metrics["loss"][-1])
+            rate = args.batch * (i - start) / (time.time() - t0)
+            print(f"step {i:5d}  loss {loss:.4f}  ({rate:.1f} img/s)", flush=True)
+            maybe_ckpt(i - 1)
+    else:
+        step_fn = make_train_step(model, tx, cfg, mesh=mesh)
+        # start_step=start: batch i is a pure function of (key, i), so a
+        # resumed run continues the same data stream it would have seen
+        it = data_iterator(
+            jax.random.PRNGKey(1),
+            batch_size=args.batch,
+            im_hw=cfg.resize,
+            start_step=start,
+        )
+        for i in range(start, args.steps):
+            batch = next(it)
+            batch = dict(batch, image=(batch["image"] - mean))
+            batch.pop("cams")
+            state, metrics = step_fn(state, batch)
+            if (i + 1) % args.log_every == 0 or i == start:
+                loss = float(metrics["loss"])
+                rate = args.batch * (i + 1 - start) / (time.time() - t0)
+                print(f"step {i + 1:5d}  loss {loss:.4f}  ({rate:.1f} img/s)", flush=True)
+            maybe_ckpt(i)
 
     if args.out:
         from perspectivefields_tpu.checkpoint.io import save_params
