@@ -69,7 +69,15 @@ def build(batch: int, use_pallas: bool):
         )(out["pred_latitude"].astype(jnp.bfloat16))
         return up, lat, out["pred_roll"], out["pred_pitch"], out["pred_general_vfov"]
 
-    @functools.partial(jax.jit, static_argnames=())
+    # TPU-compiler option overrides (the local XLA client hard-rejects
+    # unknown XLA_FLAGS, but compiler_options serialize into the remote
+    # compile request): BENCH_XLA_OPTS="xla_tpu_scoped_vmem_limit_kib=65536,..."
+    opts = None
+    env_opts = os.environ.get("BENCH_XLA_OPTS")
+    if env_opts:
+        opts = dict(tok.split("=", 1) for tok in env_opts.split(","))
+
+    @functools.partial(jax.jit, static_argnames=(), compiler_options=opts)
     def run_k(params, batches):
         """batches: (K, B, 640, 640, 3) uint8; returns a checksum that
         depends on every output of every batch."""
