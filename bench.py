@@ -60,7 +60,11 @@ def build(batch: int, use_pallas: bool):
         x = pre(images_u8)
         out = model.apply(params, x, deterministic=True)
         # bf16 postprocess fast path (resize matmuls stay on the MXU default
-        # precision); the exact f32 path is the API default for parity
+        # precision); the exact f32 path is the API default for parity.
+        # Two separate vmapped resizes, NOT a fused C=3 resize: the merged
+        # variant measured 615.5 vs 620.8 in a same-moment A/B
+        # (PERF_NOTES.md round 3) — the concat relayout costs more than the
+        # second resize's launch overhead.
         up = jax.vmap(
             lambda p: postprocess_gravity(p, (320, 320), 640, 640, "regression")
         )(out["pred_gravity"].astype(jnp.bfloat16))
@@ -99,10 +103,13 @@ def build(batch: int, use_pallas: bool):
 
     # K big enough to amortize the ~30 ms fixed dispatch overhead of one
     # timed invocation (PERF_NOTES.md, tools/bench_calib.py). K=32 (5 GB of
-    # device-resident input) measured ~3% SLOWER than K=16 — HBM pressure
-    # outweighs the better overhead amortization; don't raise it.
+    # device-resident input) measured ~3% SLOWER than K=16 — consistent with
+    # per-invocation input traffic through the relay scaling with K, so
+    # don't raise it. BENCH_K overrides for calibration runs.
     # Off-TPU this is a smoke config: keep the scan short.
     k = max(1, 2048 // batch) if jax.default_backend() == "tpu" else 2
+    if os.environ.get("BENCH_K"):
+        k = int(os.environ["BENCH_K"])
     rng = np.random.default_rng(0)
     # dtype=uint8 up front: without it numpy materializes the batch as a
     # ~20 GB int64 intermediate before the cast (measured minutes + swap)
@@ -134,14 +141,30 @@ def build(batch: int, use_pallas: bool):
     return run_k, params, batches
 
 
-def measure(fn, params, batches, reps=3):
+def measure(fn, params, batches, reps=3, windows=4):
+    """Pipelined steady-state throughput: dispatch `reps` invocations
+    back-to-back (async dispatch queues them; the device runs them in
+    order) and read every result at the end, so the ~30 ms per-invocation
+    dispatch overhead overlaps device compute exactly as a serving queue
+    would. K-sweep calibration (PERF_NOTES.md round 3): serialized timing
+    fits k*B/rate + 32 ms, i.e. the old serialized measure() under-read
+    the device rate by ~1% at K=16. Best window of `windows` guards
+    against relay latency spikes. Every invocation's result is read back —
+    all dispatched work really ran."""
     float(fn(params, batches))  # compile + warmup
     k, b = batches.shape[0], batches.shape[1]
     best = float("inf")
-    for _ in range(reps):
+    for w in range(windows):
         t0 = time.perf_counter()
-        float(fn(params, batches))
-        best = min(best, time.perf_counter() - t0)
+        outs = [fn(params, batches) for _ in range(reps)]
+        for o in outs:
+            float(o)
+        dt = (time.perf_counter() - t0) / reps
+        # per-window rates logged: the relay's health varies run to run
+        # (same graph measured 621 and 575 an hour apart) — the window
+        # spread in the log is the evidence for which number to trust
+        print(f"#   window {w}: {k * b / dt:.1f} img/s", file=sys.stderr)
+        best = min(best, dt)
     return k * b / best
 
 

@@ -140,12 +140,26 @@ def main():
             model, tx, cfg, batch_fn, args.chunk, mesh=mesh, prepare=prepare
         )
         i = start
+        warm = None  # (time, step) after the first (compile-bearing) call
         while i < args.steps:
             state, metrics = loop_fn(state)
             i += args.chunk
             loss = float(metrics["loss"][-1])
-            rate = args.batch * (i - start) / (time.time() - t0)
-            print(f"step {i:5d}  loss {loss:.4f}  ({rate:.1f} img/s)", flush=True)
+            if warm is None:
+                # first call pays the XLA compile — report it separately and
+                # start the steady-state throughput clock after it
+                print(
+                    f"step {i:5d}  loss {loss:.4f}  "
+                    f"(first call incl. compile: {time.time() - t0:.1f}s)",
+                    flush=True,
+                )
+                warm = (time.time(), i)
+            else:
+                rate = args.batch * (i - warm[1]) / (time.time() - warm[0])
+                print(
+                    f"step {i:5d}  loss {loss:.4f}  ({rate:.1f} img/s steady-state)",
+                    flush=True,
+                )
             maybe_ckpt(i - 1)
     else:
         step_fn = make_train_step(model, tx, cfg, mesh=mesh)
