@@ -50,7 +50,12 @@ def build(batch: int, use_pallas: bool):
     )
 
     cfg = model_zoo["Paramnet-360Cities-edina-centered"]["config"]
-    model = PersNet(cfg, dtype=jnp.bfloat16, use_pallas=use_pallas)
+    model = PersNet(
+        cfg, dtype=jnp.bfloat16, use_pallas=use_pallas,
+        # whole-block kernel A/B (kernels/fused_block.py): stage 3-4 blocks
+        # run attention + LN2 + MixFFN + skips in one VMEM program
+        fuse_block=bool(int(os.environ.get("BENCH_FUSE_BLOCK", "0"))),
+    )
     # fused resize-640->320 + normalize (see ops/image.make_fused_preprocess)
     pre = make_fused_preprocess(
         (640, 640), (320, 320), cfg.pixel_mean, cfg.pixel_std, jnp.bfloat16

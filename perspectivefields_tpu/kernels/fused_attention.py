@@ -49,26 +49,23 @@ def _xla_reference(x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale):
     return jnp.dot(out, wproj) + bproj
 
 
-def _kernel(
-    *refs, num_heads: int, scale: float, m_true: int, has_res: bool
+def _attn_core(
+    x, kv_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref, bp_ref,
+    *, num_heads: int, scale: float, m_true: int, bb: int, n: int,
 ):
-    if has_res:
-        (x_ref, kv_ref, res_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref,
-         bp_ref, o_ref) = refs
-    else:
-        (x_ref, kv_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref, bp_ref,
-         o_ref) = refs
-        res_ref = None
-    # Mosaic constraint: stay strictly 2-D — reshapes that split/merge the
-    # lane (last) dim don't lower ("unsupported shape cast"). Heads are
-    # addressed with static 2-D slices instead (dh = 64 in every MiT stage,
-    # lane-aligned).
-    bb, n, c = x_ref.shape
+    """Attention math on VMEM values: x (bb*n, c) LN'd tokens ->
+    (bb*n, c) projected attention output. Shared by the attention-only
+    kernel below and the whole-block kernel (fused_block.py).
+
+    Mosaic constraint: stay strictly 2-D — reshapes that split/merge the
+    lane (last) dim don't lower ("unsupported shape cast"). Heads are
+    addressed with static 2-D slices instead (dh = 64 in every MiT stage,
+    lane-aligned)."""
+    c = x.shape[-1]
     mpad = kv_ref.shape[1]
     dh = c // num_heads
-    cdt = x_ref.dtype
+    cdt = x.dtype
 
-    x = x_ref[...].reshape(bb * n, c)  # major-dim collapse only
     q = (
         jax.lax.dot_general(
             x, wq_ref[...], (((1,), (0,)), ((), ())),
@@ -119,13 +116,32 @@ def _kernel(
             heads[0] if num_heads == 1 else jnp.concatenate(heads, axis=-1)
         )  # (n, c)
     o = outs[0] if bb == 1 else jnp.concatenate(outs, axis=0)  # (bb*n, c)
-    o = (
+    return (
         jax.lax.dot_general(
             o, wp_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + bp_ref[...].astype(jnp.float32)
     ).astype(cdt)
+
+
+def _kernel(
+    *refs, num_heads: int, scale: float, m_true: int, has_res: bool
+):
+    if has_res:
+        (x_ref, kv_ref, res_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref,
+         bp_ref, o_ref) = refs
+    else:
+        (x_ref, kv_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref, bp_ref,
+         o_ref) = refs
+        res_ref = None
+    bb, n, c = x_ref.shape
+
+    x = x_ref[...].reshape(bb * n, c)  # major-dim collapse only
+    o = _attn_core(
+        x, kv_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref, bp_ref,
+        num_heads=num_heads, scale=scale, m_true=m_true, bb=bb, n=n,
+    )
     o = o.reshape(bb, n, c)
     if res_ref is not None:
         # pre-LN residual folded in (saves the external add's HBM round trip)

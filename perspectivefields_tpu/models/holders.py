@@ -41,3 +41,13 @@ class _ConvParams(nn.Module):
             (self.kh, self.kw, self.features_in, self.features_out),
         )
         self.bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter holder matching nn.LayerNorm's param tree (scale/bias)."""
+
+    features: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))

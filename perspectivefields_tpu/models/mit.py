@@ -27,6 +27,7 @@ TPU-first design decisions (not a translation):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import flax.linen as nn
@@ -37,7 +38,9 @@ from ..ops.activations import gelu
 
 from ..config import BackboneConfig
 from ..kernels.fused_attention import fused_attention
+from ..kernels.fused_block import fused_block, fused_block_viable
 from .convnext import _ConvHolder, _DenseHolder
+from .holders import _LayerNormParams
 
 
 def mit_spec(name: str) -> BackboneConfig:
@@ -130,6 +133,15 @@ def _fused_backend_ok() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _attn_token_gate() -> int:
+    """Max token count N for the fused attention kernel (above it, XLA's
+    batched-GEMM attention is measured faster — PERF_NOTES.md). The env
+    override exists for e2e A/B probes of the per-stage cutoff; the default
+    routes stage 1 (N=6400 at the zoo resolution) to XLA and stages 2-4 to
+    the kernel."""
+    return int(os.environ.get("PF_ATTN_TOKEN_GATE", "2048"))
+
+
 class SRAttention(nn.Module):
     """Efficient attention with spatial reduction of K/V.
 
@@ -180,7 +192,7 @@ class SRAttention(nn.Module):
         use_fused = (
             self.use_pallas
             and self.qkv_bias
-            and h * w <= 2048
+            and h * w <= _attn_token_gate()
             and head_dim % 64 == 0
             and _fused_backend_ok()
         )
@@ -225,6 +237,66 @@ class SRAttention(nn.Module):
         return out if residual is None else residual + out
 
 
+class _AttnParams(nn.Module):
+    """Parameter surface of SRAttention for the whole-block fused path:
+    computes kv_in (the real sr conv + LayerNorm) and exposes the q/kv/proj
+    projection weights. Param tree is identical to SRAttention's."""
+
+    dim: int
+    sr_ratio: int
+    ln_eps: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, ln1):
+        b, h, w, c = ln1.shape
+        if self.sr_ratio > 1:
+            kv_in = nn.Conv(
+                self.dim,
+                kernel_size=(self.sr_ratio, self.sr_ratio),
+                strides=(self.sr_ratio, self.sr_ratio),
+                padding="VALID",
+                dtype=self.dtype,
+                name="sr",
+            )(ln1)
+            kv_in = nn.LayerNorm(
+                epsilon=self.ln_eps, dtype=self.dtype, name="norm"
+            )(kv_in)
+            kv_in = kv_in.reshape(b, -1, c)
+        else:
+            kv_in = ln1.reshape(b, h * w, c)
+        qh = _DenseHolder(c, self.dim, name="q")
+        kvh = _DenseHolder(c, 2 * self.dim, name="kv")
+        ph = _DenseHolder(self.dim, self.dim, name="proj")
+        cdt = self.dtype
+        return kv_in, (
+            qh.kernel.astype(cdt), qh.bias,
+            kvh.kernel.astype(cdt), kvh.bias,
+            ph.kernel.astype(cdt), ph.bias,
+        )
+
+
+class _FFNParams(nn.Module):
+    """Parameter surface of MixFFN for the whole-block fused path (tree
+    identical to MixFFN's fc1/dwconv/fc2)."""
+
+    dim: int
+    hidden_dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseHolder(self.dim, self.hidden_dim, name="fc1")
+        dw = _ConvHolder(3, 3, 1, self.hidden_dim, name="dwconv")
+        fc2 = _DenseHolder(self.hidden_dim, self.dim, name="fc2")
+        cdt = self.dtype
+        return (
+            fc1.kernel.astype(cdt), fc1.bias,
+            dw.kernel.astype(cdt), dw.bias,
+            fc2.kernel.astype(cdt), fc2.bias,
+        )
+
+
 class Block(nn.Module):
     """Pre-LN transformer block: x + attn(LN(x)); x + ffn(LN(x)).
 
@@ -240,9 +312,49 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     fuse_ffn: bool = False
+    # Whole-block fused kernel (kernels/fused_block.py): attention + LN2 +
+    # MixFFN + both skips in one VMEM-resident program. Inference-only;
+    # identical param tree. Gates itself to stages whose full token grid
+    # fits scoped VMEM (stages 3-4 at the zoo resolution).
+    fuse_block: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        head_dim = self.dim // max(self.num_heads, 1)
+        if (
+            self.fuse_block
+            and deterministic
+            and self.qkv_bias
+            and self.dim % self.num_heads == 0
+            and head_dim % 64 == 0
+            and _fused_backend_ok()
+        ):
+            b, h, w, c = x.shape
+            msr = (h // self.sr_ratio) * (w // self.sr_ratio)
+            if fused_block_viable(
+                b, h * w, c, self.dim * self.mlp_ratio, msr, self.num_heads
+            ):
+                ln1 = nn.LayerNorm(
+                    epsilon=self.ln_eps, dtype=self.dtype, name="norm1"
+                )(x)
+                kv_in, aw = _AttnParams(
+                    self.dim, self.sr_ratio, self.ln_eps, self.dtype,
+                    name="attn",
+                )(ln1)
+                ln2 = _LayerNormParams(self.dim, name="norm2")
+                fw = _FFNParams(
+                    self.dim, self.dim * self.mlp_ratio, self.dtype,
+                    name="mlp",
+                )()
+                cdt = self.dtype
+                out = fused_block(
+                    ln1.reshape(b, h * w, c).astype(cdt),
+                    kv_in.astype(cdt),
+                    x.reshape(b, h * w, c).astype(cdt),
+                    *aw, ln2.scale, ln2.bias, *fw,
+                    self.num_heads, head_dim**-0.5, h, w, self.ln_eps,
+                )
+                return out.reshape(b, h, w, c)
         attn = SRAttention(
             self.dim,
             self.num_heads,
@@ -303,6 +415,7 @@ class MixViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     fuse_ffn: bool = False
+    fuse_block: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, ...]:
@@ -336,6 +449,7 @@ class MixViT(nn.Module):
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
                     fuse_ffn=self.fuse_ffn,
+                    fuse_block=self.fuse_block,
                     name=f"block{s + 1}_{i}",
                 )(x, deterministic)
             x = nn.LayerNorm(epsilon=spec.ln_eps, dtype=self.dtype, name=f"norm{s + 1}")(x)

@@ -33,6 +33,9 @@ class PersNet(nn.Module):
     fuse_convnext: bool = False
     # Fused MixFFN kernel in the backbone (inference-only; same param tree).
     fuse_ffn: bool = False
+    # Whole-block fused kernel in the backbone (attention + LN2 + MixFFN +
+    # skips in one VMEM program; inference-only; same param tree).
+    fuse_block: bool = False
 
     @nn.compact
     def __call__(
@@ -48,7 +51,8 @@ class PersNet(nn.Module):
         """
         cfg = self.cfg
         hl = MixViT(
-            cfg.backbone, self.dtype, self.use_pallas, self.fuse_ffn, name="backbone"
+            cfg.backbone, self.dtype, self.use_pallas, self.fuse_ffn,
+            self.fuse_block, name="backbone"
         )(images, deterministic)
         ll = LowLevelEncoder(dtype=self.dtype, name="ll_enc")(images)
 
