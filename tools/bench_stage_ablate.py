@@ -38,6 +38,8 @@ DEPTHS = {
     "full": (3, 4, 18, 3),
     "stage3_9": (3, 4, 9, 3),
     "stage1_1": (1, 4, 18, 3),
+    "stage2_1": (3, 1, 18, 3),
+    "stage4_1": (3, 4, 18, 1),
 }
 
 
@@ -130,6 +132,10 @@ def main():
         print(f"stage-3 in-context: {(ms['full'] - ms['stage3_9']) / 9:.3f} ms/block")
     if "full" in ms and "stage1_1" in ms:
         print(f"stage-1 in-context: {(ms['full'] - ms['stage1_1']) / 2:.3f} ms/block")
+    if "full" in ms and "stage2_1" in ms:
+        print(f"stage-2 in-context: {(ms['full'] - ms['stage2_1']) / 3:.3f} ms/block")
+    if "full" in ms and "stage4_1" in ms:
+        print(f"stage-4 in-context: {(ms['full'] - ms['stage4_1']) / 2:.3f} ms/block")
 
 
 if __name__ == "__main__":
