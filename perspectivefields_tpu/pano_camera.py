@@ -86,6 +86,17 @@ class PanoCam:
         pano = np.asarray(image360, np.float32)
         out = P.crop_distortion(pano, f, xi, H, W, az, el, roll)
         im = np.asarray(out["crop"]).astype(image360.dtype)
+        # catadioptric disk mask: when f < minfocal (only reachable for
+        # xi > 1, where minfocal is real) the valid image is a centered disk
+        # of radius diskradius(xi, f) — zero everything outside, like the
+        # reference (panocam.py:695-707; NaN fmin for xi <= 1 compares False)
+        with np.errstate(invalid="ignore"):
+            fmin = min_focal(W / 2.0, H / 2.0, xi)
+            if np.isfinite(fmin) and f < fmin:
+                r = disk_radius(xi, f)
+                ci, cj = np.round(H / 2.0), np.round(W / 2.0)
+                jj, ii = np.meshgrid(np.arange(W) - cj, np.arange(H) - ci)
+                im = im * (ii * ii + jj * jj < r * r)[:, :, None].astype(im.dtype)
         ntheta = np.asarray(out["theta"])
         nphi = np.asarray(out["phi"])
         up = np.asarray(out["up"])

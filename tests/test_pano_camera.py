@@ -46,3 +46,24 @@ def test_gravity_field_from_absvvp():
     field = PanoCam.getGravityField(10, 10, np.array([5.0, -100.0, 1.0]))
     assert field.shape == (10, 10, 2)
     assert np.all(field[..., 1] < 0)  # vvp above image -> arrows point up
+
+
+def test_crop_distortion_catadioptric_disk_mask():
+    # xi > 1 with f < minfocal: the valid image is a centered disk of
+    # radius diskradius(xi, f); pixels outside are zeroed
+    # (reference: panocam.py:695-707)
+    from perspectivefields_tpu.pano_camera import disk_radius, min_focal
+
+    pano = np.full((64, 128, 3), 200, np.uint8)
+    xi, H, W = 1.2, 64, 64
+    fmin = min_focal(W / 2.0, H / 2.0, xi)
+    assert np.isfinite(fmin)
+    f = 0.5 * fmin
+    im, *_ = PanoCam.crop_distortion(pano, f, xi, H, W, 0.0, 0.0, 0.0)
+    r = disk_radius(xi, f)
+    assert r < 32  # the disk actually clips this crop
+    assert np.all(im[0, 0] == 0) and np.all(im[-1, -1] == 0)  # corners masked
+    assert np.all(im[H // 2, W // 2] > 0)  # center kept
+    # a crop with f >= fmin is untouched at the corners
+    im2, *_ = PanoCam.crop_distortion(pano, 2.0 * fmin, xi, H, W, 0.0, 0.0, 0.0)
+    assert np.all(im2[0, 0] > 0)
