@@ -40,7 +40,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips (BASELINE.md north star)
 
 
-def build(batch: int, use_pallas: bool):
+def build(batch: int, use_pallas: bool, reuse=None):
     from perspectivefields_tpu.config import model_zoo
     from perspectivefields_tpu.models import PersNet
     from perspectivefields_tpu.ops.image import make_fused_preprocess
@@ -103,8 +103,24 @@ def build(batch: int, use_pallas: bool):
             )
             return carry + s, ()
 
-        total, _ = lax.scan(body, jnp.float32(0.0), batches)
+        # unroll > 1 duplicates the body so XLA can pipeline ACROSS batch
+        # boundaries (a TPU core runs one program at a time, so separate
+        # invocations can never overlap on device — cross-batch overlap only
+        # exists inside one program). This is the serving-queue shape: batch
+        # i's latency-bound tail (attention, postprocess small matmuls) can
+        # hide under batch i+1's MXU work. Costs compile time ~linearly.
+        unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+        total, _ = lax.scan(body, jnp.float32(0.0), batches, unroll=unroll)
         return total
+
+    # A/B probes pass a prior build's (fn, params, batches) as `reuse` so
+    # both variants share one device-resident input + param copy — two
+    # copies of the K=16 B=128 input alone are ~5 GB of HBM, enough to
+    # distort the measurement (PERF_NOTES.md: the K=32 config measured ~3%
+    # slower on input-residency pressure alone). Identical seeds make the
+    # shared arrays bit-identical to what this build would create.
+    if reuse is not None:
+        return run_k, reuse[1], reuse[2]
 
     # K big enough to amortize the ~30 ms fixed dispatch overhead of one
     # timed invocation (PERF_NOTES.md, tools/bench_calib.py). K=32 (5 GB of
@@ -146,7 +162,7 @@ def build(batch: int, use_pallas: bool):
     return run_k, params, batches
 
 
-def measure(fn, params, batches, reps=3, windows=4):
+def measure(fn, params, batches, reps=3, windows=6):
     """Pipelined steady-state throughput: dispatch `reps` invocations
     back-to-back (async dispatch queues them; the device runs them in
     order) and read every result at the end, so the ~30 ms per-invocation
@@ -154,8 +170,11 @@ def measure(fn, params, batches, reps=3, windows=4):
     would. K-sweep calibration (PERF_NOTES.md round 3): serialized timing
     fits k*B/rate + 32 ms, i.e. the old serialized measure() under-read
     the device rate by ~1% at K=16. Best window of `windows` guards
-    against relay latency spikes. Every invocation's result is read back —
-    all dispatched work really ran."""
+    against relay latency spikes — relay noise is one-sided (it only adds
+    latency), so max-rate-over-windows converges to the true device rate;
+    6 windows (~+25 s) buys better odds of landing in the known-good band
+    on a flaky relay day (PERF_NOTES.md: ±8% run-to-run variance). Every
+    invocation's result is read back — all dispatched work really ran."""
     float(fn(params, batches))  # compile + warmup
     k, b = batches.shape[0], batches.shape[1]
     best = float("inf")

@@ -307,8 +307,13 @@ class PerspectiveFields:
 
     @functools.cached_property
     def _data_mesh(self) -> Optional[Mesh]:
-        """1-D data mesh over all local devices (None when single-device)."""
-        devs = jax.devices()
+        """1-D data mesh over all local devices (None when single-device).
+
+        local_devices, not devices: in a multi-process deployment a sharding
+        over non-addressable global devices would make device_put of a
+        host-local batch raise; per-process DP is the right inference shape.
+        """
+        devs = jax.local_devices()
         if len(devs) <= 1:
             return None
         return Mesh(np.array(devs), ("data",))

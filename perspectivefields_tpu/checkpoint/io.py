@@ -123,11 +123,17 @@ def restore_train_state(path: str, template_state):
             tree = ckptr.restore(cand, abstract)
         except Exception as exc:
             last_exc = exc
-            warnings.warn(
-                f"checkpoint {cand} unusable ({exc!r})"
-                + ("; trying older" if cand != base else ""),
-                stacklevel=2,
+            # a fresh/empty directory failing the legacy-layout probe is the
+            # normal no-checkpoint-yet case — not worth a warning
+            fresh = cand == base and not (
+                os.path.isdir(base) and os.listdir(base)
             )
+            if not fresh:
+                warnings.warn(
+                    f"checkpoint {cand} unusable ({exc!r})"
+                    + ("; trying older" if cand != base else ""),
+                    stacklevel=2,
+                )
             continue
         return TrainState(tree["params"], tree["opt_state"], tree["step"])
     # chain the real failure (e.g. a structural mismatch against the current

@@ -159,14 +159,19 @@ def _tile_bytes(n, c, hdim, mpad, h, w, isz, bb):
     return bb * (attn + ffn) + weights
 
 
-def fused_block_viable(b, n, c, hdim, m, num_heads) -> bool:
+def fused_block_viable(b, n, c, hdim, m, num_heads, itemsize: int = 2) -> bool:
     """True when the whole-block kernel fits scoped VMEM at this stage's
-    shapes (callers keep the attention-only fused path otherwise)."""
+    shapes (callers keep the attention-only fused path otherwise).
+
+    ``itemsize`` must match the compute dtype fused_block will run at —
+    the kernel re-checks the budget with the real itemsize and silently
+    falls back to XLA on overflow, so an optimistic gate here would pay
+    the kernel's param-plumbing for nothing."""
     if n > 2048 or c % num_heads or (c // num_heads) % 64:
         return False
     mpad = -(-m // 8) * 8
     side = int(round(n ** 0.5))
-    return _tile_bytes(n, c, hdim, mpad, side, side, 2, 1) <= 13 * 2**20
+    return _tile_bytes(n, c, hdim, mpad, side, side, itemsize, 1) <= 13 * 2**20
 
 
 @functools.partial(

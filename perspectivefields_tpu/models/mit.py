@@ -342,7 +342,8 @@ class Block(nn.Module):
             b, h, w, c = x.shape
             msr = (h // self.sr_ratio) * (w // self.sr_ratio)
             if fused_block_viable(
-                b, h * w, c, self.dim * self.mlp_ratio, msr, self.num_heads
+                b, h * w, c, self.dim * self.mlp_ratio, msr, self.num_heads,
+                itemsize=jnp.dtype(self.dtype).itemsize,
             ):
                 ln1 = nn.LayerNorm(
                     epsilon=self.ln_eps, dtype=self.dtype, name="norm1"

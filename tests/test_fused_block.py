@@ -113,6 +113,10 @@ def test_viability_gate():
     # stage 1 is token-count gated; stage 2 overflows the VMEM budget
     assert not fused_block_viable(128, 6400, 64, 256, 100, 1)
     assert not fused_block_viable(128, 1600, 128, 512, 100, 2)
+    # f32 (itemsize 4) overflows at the stage-3 shapes bf16 admits — the
+    # gate must agree with the kernel's own budget check, or f32 models pay
+    # the kernel's param plumbing only to fall back inside
+    assert not fused_block_viable(128, 400, 320, 1280, 100, 5, itemsize=4)
 
 
 def test_backbone_fuse_block_same_tree_and_outputs(monkeypatch):

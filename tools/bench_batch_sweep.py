@@ -24,12 +24,16 @@ def main():
         t0 = time.time()
         try:
             fn, params, data = build(b, True)
-            ips = measure(fn, params, data, reps=3)
+            try:
+                ips = measure(fn, params, data, reps=3)
+            finally:
+                # release device buffers before the next batch size even on
+                # a failed measure; a failed build leaves nothing to free
+                del fn, params, data
             print(f"batch={b} pallas=True: {ips:.1f} img/s "
                   f"(total {time.time()-t0:.0f}s)", flush=True)
         except Exception as e:
             print(f"batch={b} FAILED: {e!r}", flush=True)
-        del fn, params, data
 
 
 if __name__ == "__main__":

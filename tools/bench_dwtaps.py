@@ -25,13 +25,17 @@ import bench  # noqa: E402
 
 def main():
     variants = []
+    prev = None
     for name, flag in (("control", "0"), ("dw_taps", "1")):
         os.environ["PF_DW_TAPS"] = flag
-        fn, params, batches = bench.build(128, True)
+        # reuse=prev: both variants share ONE device-resident input + param
+        # copy (two copies would hold ~5 GB of HBM and distort the A/B)
+        fn, params, batches = bench.build(128, True, reuse=prev)
         # compile + warmup now, while the flag is set (trace time)
         float(fn(params, batches))
         print(f"# {name} compiled", file=sys.stderr)
         variants.append((name, fn, params, batches))
+        prev = (fn, params, batches)
 
     k, b = variants[0][3].shape[0], variants[0][3].shape[1]
     best = {name: float("inf") for name, *_ in variants}

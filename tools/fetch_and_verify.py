@@ -88,7 +88,17 @@ def field_parity(version: str, image_path: str) -> float:
         RefPF._init_weights = orig
     pth = os.path.join(api._WEIGHTS_DIR, version + ".pth")
     sd = torch.load(pth, map_location="cpu", weights_only=False)
-    ref.load_state_dict(sd.get("model", sd), strict=False)
+    # this is a parity-certification tool: silently ignoring key drift
+    # (strict=False, like the reference's forgiving loader) would leave
+    # reference layers at constructor init and report a bogus parity verdict
+    missing, unexpected = ref.load_state_dict(sd.get("model", sd), strict=False)
+    if missing or unexpected:
+        raise SystemExit(
+            f"{version}: reference state_dict mismatch — missing keys "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''}, unexpected "
+            f"{unexpected[:5]}{'...' if len(unexpected) > 5 else ''}; cannot "
+            "certify parity against a partially-initialized reference"
+        )
     with torch.no_grad():
         rpred = ref.inference(img_bgr=img)
 

@@ -115,12 +115,15 @@ def main():
     # normalize images like inference does
     mean = jnp.asarray(cfg.pixel_mean)
 
-    def maybe_ckpt(i):
-        if args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
+    def maybe_ckpt(prev_step, now_step):
+        # checkpoint whenever a multiple of --ckpt-every falls in
+        # (prev_step, now_step] — correct for any --chunk, not only
+        # divisors of --ckpt-every
+        if args.ckpt_dir and now_step // args.ckpt_every > prev_step // args.ckpt_every:
             from perspectivefields_tpu.checkpoint import save_train_state
 
             save_train_state(state, args.ckpt_dir)
-            print(f"checkpointed step {i + 1} -> {args.ckpt_dir}", flush=True)
+            print(f"checkpointed step {now_step} -> {args.ckpt_dir}", flush=True)
 
     t0 = time.time()
     if args.chunk > 1:
@@ -136,14 +139,24 @@ def main():
             batch.pop("cams")
             return batch
 
-        loop_fn = make_train_loop(
-            model, tx, cfg, batch_fn, args.chunk, mesh=mesh, prepare=prepare
-        )
+        # one compiled loop per chunk length; a final short chunk (when
+        # steps - start is not a multiple of --chunk) compiles a second
+        # program rather than silently training past --steps
+        loops = {}
+
+        def loop_for(n):
+            if n not in loops:
+                loops[n] = make_train_loop(
+                    model, tx, cfg, batch_fn, n, mesh=mesh, prepare=prepare
+                )
+            return loops[n]
+
         i = start
         warm = None  # (time, step) after the first (compile-bearing) call
         while i < args.steps:
-            state, metrics = loop_fn(state)
-            i += args.chunk
+            n = min(args.chunk, args.steps - i)
+            state, metrics = loop_for(n)(state)
+            i += n
             loss = float(metrics["loss"][-1])
             if warm is None:
                 # first call pays the XLA compile — report it separately and
@@ -160,7 +173,7 @@ def main():
                     f"step {i:5d}  loss {loss:.4f}  ({rate:.1f} img/s steady-state)",
                     flush=True,
                 )
-            maybe_ckpt(i - 1)
+            maybe_ckpt(i - n, i)
     else:
         step_fn = make_train_step(model, tx, cfg, mesh=mesh)
         # start_step=start: batch i is a pure function of (key, i), so a
@@ -180,7 +193,7 @@ def main():
                 loss = float(metrics["loss"])
                 rate = args.batch * (i + 1 - start) / (time.time() - t0)
                 print(f"step {i + 1:5d}  loss {loss:.4f}  ({rate:.1f} img/s)", flush=True)
-            maybe_ckpt(i)
+            maybe_ckpt(i, i + 1)
 
     if args.out:
         from perspectivefields_tpu.checkpoint.io import save_params
