@@ -126,9 +126,11 @@ class PerspectiveFields:
             softmax, VMEM-resident). Default: on for bfloat16 on TPU; it
             self-gates to shapes where it wins and XLA handles the rest.
             float32 defaults off to preserve the parity contract.
-        fuse_ffn / fuse_convnext: fused MixFFN / ConvNeXt-block Pallas
-            kernels (inference-only; identical param trees). Measured to
-            roughly tie XLA on v5e (PERF_NOTES.md), so default off.
+        fuse_ffn / fuse_convnext / fuse_block: fused MixFFN / ConvNeXt-block
+            / whole-MiT-block Pallas kernels (inference-only; identical
+            param trees). Measured to tie or lose to XLA on v5e
+            (PERF_NOTES.md), so default off; kept as tested opt-ins for
+            hardware where the balance differs.
         device_preprocess: resize input images on device with the float
             PIL-equivalent matrix kernel instead of host-side exact PIL.
     """
@@ -143,6 +145,7 @@ class PerspectiveFields:
         device_preprocess: bool = False,
         fuse_ffn: bool = False,
         fuse_convnext: bool = False,
+        fuse_block: bool = False,
     ):
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
         if use_pallas is None:
@@ -174,6 +177,7 @@ class PerspectiveFields:
             use_pallas=use_pallas,
             fuse_ffn=fuse_ffn,
             fuse_convnext=fuse_convnext,
+            fuse_block=fuse_block,
         )
         self.params = self._init_params(params)
         self._pixel_mean = np.asarray(config.pixel_mean, np.float32)
