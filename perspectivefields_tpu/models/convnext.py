@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activations import gelu
-from ..ops.dwconv import dwconv_taps, use_dw_taps
 from .holders import _ConvParams as _ConvHolder, _LinearParams as _DenseHolder
 
 
@@ -74,24 +73,17 @@ class ConvNeXtBlock(nn.Module):
                 gamma,
             )
         inp = x
-        if use_dw_taps():
-            # tap-accumulation 7x7 depthwise conv (ops/dwconv.py): identical
-            # param tree via the holder; 49 f32-accumulated slice-FMAs that
-            # XLA fuses into one VPU loop. PF_DW_TAPS e2e A/B gate.
-            dwh = _ConvHolder(7, 7, 1, self.dim, name="dwconv")
-            x = dwconv_taps(
-                x.astype(self.dtype), dwh.kernel.astype(self.dtype),
-                dwh.bias, pad=3,
-            )
-        else:
-            x = nn.Conv(
-                self.dim,
-                kernel_size=(7, 7),
-                padding=3,
-                feature_group_count=self.dim,
-                dtype=self.dtype,
-                name="dwconv",
-            )(x)
+        # XLA's grouped-conv lowering is the measured-fastest depthwise path
+        # on v5e; the tap-accumulation alternative (ops/dwconv.py) LOST 28%
+        # e2e (PERF_NOTES.md round 3) and lives only in probe code now.
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(7, 7),
+            padding=3,
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
         # dtype-matched GELU (exact erf at f32, tanh at bf16 — activations.py)

@@ -27,7 +27,6 @@ TPU-first design decisions (not a translation):
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Tuple
 
 import flax.linen as nn
@@ -35,7 +34,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activations import gelu
-from ..ops.dwconv import dwconv_taps, use_dw_taps
 
 from ..config import BackboneConfig
 from ..kernels.fused_attention import fused_attention
@@ -111,23 +109,17 @@ class MixFFN(nn.Module):
                 fc2.bias,
             )
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        if use_dw_taps():
-            # tap-accumulation depthwise conv (ops/dwconv.py): identical
-            # param tree via the holder, f32-accumulated slice-FMAs instead
-            # of XLA's grouped-conv lowering. PF_DW_TAPS e2e A/B gate.
-            dw = _ConvHolder(3, 3, 1, self.hidden_dim, name="dwconv")
-            x = dwconv_taps(
-                x, dw.kernel.astype(self.dtype), dw.bias, pad=1
-            )
-        else:
-            x = nn.Conv(
-                self.hidden_dim,
-                kernel_size=(3, 3),
-                padding=1,
-                feature_group_count=self.hidden_dim,
-                dtype=self.dtype,
-                name="dwconv",
-            )(x)
+        # XLA's grouped-conv lowering is the measured-fastest depthwise path
+        # on v5e; the tap-accumulation alternative (ops/dwconv.py) LOST 28%
+        # e2e (PERF_NOTES.md round 3) and lives only in probe code now.
+        x = nn.Conv(
+            self.hidden_dim,
+            kernel_size=(3, 3),
+            padding=1,
+            feature_group_count=self.hidden_dim,
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
         # dtype-matched GELU: exact erf at f32, tanh form at bf16 (equally
         # accurate at bf16 resolution, ~5x cheaper on the VPU — see
         # ops/activations.py)
@@ -143,13 +135,17 @@ def _fused_backend_ok() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Max token count N for the fused attention kernel (above it, XLA's
+# batched-GEMM attention is measured faster — PERF_NOTES.md). The default
+# routes stage 1 (N=6400 at the zoo resolution) to XLA and stages 2-4 to the
+# kernel. A module attribute (not an env var): production forwards take no
+# hidden environment switches; e2e A/B probes monkeypatch this instead.
+ATTN_TOKEN_GATE = 2048
+
+
 def _attn_token_gate() -> int:
-    """Max token count N for the fused attention kernel (above it, XLA's
-    batched-GEMM attention is measured faster — PERF_NOTES.md). The env
-    override exists for e2e A/B probes of the per-stage cutoff; the default
-    routes stage 1 (N=6400 at the zoo resolution) to XLA and stages 2-4 to
-    the kernel."""
-    return int(os.environ.get("PF_ATTN_TOKEN_GATE", "2048"))
+    """Indirection so probes/tests can patch ATTN_TOKEN_GATE at runtime."""
+    return ATTN_TOKEN_GATE
 
 
 class SRAttention(nn.Module):

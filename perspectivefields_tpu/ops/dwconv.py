@@ -16,21 +16,20 @@ MXU path nn.Conv takes (bf16 inputs, f32 accumulator) — so results match the
 ``nn.Conv`` lowering to within add-reordering rounding.
 
 Stride-1, symmetric ``pad`` only (all depthwise convs in this model family
-are stride-1 SAME). Gated by PF_DW_TAPS (see ``use_dw_taps``) so the e2e
-bench can A/B it against the stock lowering.
+are stride-1 SAME).
+
+VERDICT on v5e (PERF_NOTES.md round 3): this formulation LOST the e2e A/B by
+28% (451.0 vs 625.3 img/s, same-moment interleaved control) — XLA's grouped
+conv lowering is already near the VPU floor, and the kh*kw full-tensor f32
+transients here don't fuse away. The op is kept (tested, correct) for future
+hardware where the balance differs, but NOTHING in the production model
+forwards calls it; probe code injects it explicitly if re-measuring.
 """
 
 from __future__ import annotations
 
-import os
-
 import jax.numpy as jnp
 from jax import lax
-
-
-def use_dw_taps() -> bool:
-    """Env gate for the tap-accumulation depthwise conv (e2e A/B probes)."""
-    return bool(int(os.environ.get("PF_DW_TAPS", "0")))
 
 
 def dwconv_taps(x, kernel, bias=None, *, pad: int):

@@ -1,6 +1,8 @@
 """Tap-accumulation depthwise conv (ops/dwconv.py) parity vs the stock
-nn.Conv grouped lowering, standalone and through MixFFN / ConvNeXtBlock
-(same param tree, PF_DW_TAPS-gated)."""
+nn.Conv grouped lowering. The op is a measured-losing probe alternative
+(PERF_NOTES.md round 3: 451 vs 625 img/s e2e) — nothing in the production
+forwards calls it; these tests keep the op itself correct and prove it
+remains drop-in param-compatible with the models' nn.Conv dwconvs."""
 
 import flax.linen as nn
 import jax
@@ -47,37 +49,46 @@ def test_dwconv_taps_rejects_non_depthwise():
         dwconv_taps(x, jnp.zeros((3, 3, 1, 4)), pad=1)
 
 
-def _ab_module(monkeypatch, module, x):
-    """Apply `module` with PF_DW_TAPS off and on, same params; return both."""
-    monkeypatch.delenv("PF_DW_TAPS", raising=False)
-    params = module.init(jax.random.PRNGKey(0), x)
-    base = module.apply(params, x)
-    monkeypatch.setenv("PF_DW_TAPS", "1")
-    taps = module.apply(params, x)
-    return base, taps
-
-
-def test_mixffn_taps_parity(monkeypatch):
-    from perspectivefields_tpu.models.mit import MixFFN
-
+@pytest.mark.parametrize(
+    "builder,k,pad",
+    [
+        (
+            lambda: __import__(
+                "perspectivefields_tpu.models.mit", fromlist=["MixFFN"]
+            ).MixFFN(hidden_dim=48, out_dim=24),
+            3,
+            1,
+        ),
+        (
+            lambda: __import__(
+                "perspectivefields_tpu.models.convnext", fromlist=["ConvNeXtBlock"]
+            ).ConvNeXtBlock(dim=24),
+            7,
+            3,
+        ),
+    ],
+    ids=["mixffn", "convnext_block"],
+)
+def test_taps_drop_in_compatible_with_model_dwconv(builder, k, pad):
+    """The production modules' dwconv param trees still feed dwconv_taps
+    directly: probe code can inject the op without any param remapping."""
+    module = builder()
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal((2, 8, 8, 24)), jnp.float32
     )
-    base, taps = _ab_module(
-        monkeypatch, MixFFN(hidden_dim=48, out_dim=24), x
+    params = module.init(jax.random.PRNGKey(0), x)
+    dw = jax.tree_util.tree_map(
+        lambda a: a, params["params"]["dwconv"]
     )
+    assert dw["kernel"].shape == (k, k, 1, dw["kernel"].shape[-1])
+    hid = jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (2, 8, 8, dw["kernel"].shape[-1])
+        ),
+        jnp.float32,
+    )
+    got = dwconv_taps(hid, dw["kernel"], dw["bias"], pad=pad)
+    want = _ref_conv(hid, dw["kernel"], dw["bias"], pad, jnp.float32)
     np.testing.assert_allclose(
-        np.asarray(taps), np.asarray(base), rtol=1e-5, atol=1e-5
-    )
-
-
-def test_convnext_block_taps_parity(monkeypatch):
-    from perspectivefields_tpu.models.convnext import ConvNeXtBlock
-
-    x = jnp.asarray(
-        np.random.default_rng(1).standard_normal((2, 9, 9, 32)), jnp.float32
-    )
-    base, taps = _ab_module(monkeypatch, ConvNeXtBlock(dim=32), x)
-    np.testing.assert_allclose(
-        np.asarray(taps), np.asarray(base), rtol=1e-5, atol=1e-5
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )

@@ -1,16 +1,20 @@
 """Same-moment e2e A/B/N of env-gated bench variants.
 
 Each CLI arg is one variant: a comma-separated list of ENV=VALUE
-assignments applied before that variant's build (gates like PF_DW_TAPS and
-BENCH_UNROLL are read at trace time, so flipping the env between builds
-yields distinct jit programs with identical param trees). All variants share
-ONE device-resident input + param copy (bench.build reuse hook — two copies
-of the K=16 B=128 input are ~5 GB of HBM, enough to distort the numbers)
-and are measured in interleaved windows (A B A B ...) so relay-health drift
-(PERF_NOTES.md: ±8% run-to-run) cancels out of the comparison.
+assignments applied before that variant's build (bench gates like
+BENCH_UNROLL / BENCH_FUSE_BLOCK are read at trace time, so flipping the env
+between builds yields distinct jit programs with identical param trees). All
+variants share ONE device-resident input + param copy (bench.build reuse
+hook — two copies of the K=16 B=128 input are ~5 GB of HBM, enough to
+distort the numbers) and are measured in interleaved windows (A B A B ...)
+so relay-health drift (PERF_NOTES.md: ±8% run-to-run) cancels out of the
+comparison.
+
+Model-internal experiments (e.g. the closed dwconv-taps A/B) are injected by
+monkeypatching the relevant module attribute before build, not via env vars
+— the production forwards read no environment (VERDICT r3 item 5).
 
 Usage:
-    timeout 2000 python tools/bench_ab.py PF_DW_TAPS=0 PF_DW_TAPS=1
     timeout 2600 python tools/bench_ab.py BENCH_UNROLL=1 BENCH_UNROLL=2 BENCH_UNROLL=4
 """
 
@@ -26,7 +30,7 @@ import bench  # noqa: E402
 
 
 def main():
-    specs = sys.argv[1:] or ["PF_DW_TAPS=0", "PF_DW_TAPS=1"]
+    specs = sys.argv[1:] or ["BENCH_UNROLL=1", "BENCH_UNROLL=2"]
     on_tpu = jax.default_backend() == "tpu"
     # off-TPU this is a plumbing smoke, not a measurement
     batch = int(os.environ.get("AB_BATCH", "128" if on_tpu else "2"))
