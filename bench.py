@@ -137,14 +137,21 @@ def build(batch: int, use_pallas: bool, reuse=None):
     batches = jnp.asarray(
         rng.integers(0, 256, size=(k, batch, 640, 640, 3), dtype=np.uint8)
     )
-    # Throughput does not depend on weight values: build the param tree from
-    # eval_shape + host-side fill instead of jit(model.init), which would
-    # compile the whole forward a second time (~12 min via the relay).
-    # Normalization statistics/scales get their init values (a random 'var'
-    # can be negative -> sqrt NaN poisons the checksum that proves the work
-    # wasn't elided); only genuine weights are randomized.
+    params = make_params(model)
+    return run_k, params, batches
+
+
+def make_params(model, resize=(320, 320)):
+    """Throughput-bench param tree: eval_shape + host-side fill instead of
+    jit(model.init), which would compile the whole forward a second time
+    (~12 min via the relay). Normalization statistics/scales get their init
+    values (a random 'var' can be negative -> sqrt NaN poisons the checksum
+    that proves the work wasn't elided); only genuine weights are
+    randomized. Throughput does not depend on weight values."""
     shapes = jax.eval_shape(
-        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3), jnp.float32)
+        model.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *resize, 3), jnp.float32),
     )
     prng = np.random.default_rng(42)
 
@@ -158,8 +165,7 @@ def build(batch: int, use_pallas: bool, reuse=None):
             prng.standard_normal(s.shape, dtype=np.float32) * 0.02, s.dtype
         )
 
-    params = jax.device_put(jax.tree_util.tree_map_with_path(_fill, shapes))
-    return run_k, params, batches
+    return jax.device_put(jax.tree_util.tree_map_with_path(_fill, shapes))
 
 
 def measure(fn, params, batches, reps=3, windows=6):

@@ -22,33 +22,57 @@ _lib = None
 _tried = False
 
 
+def _bind(lib) -> None:
+    """Declare argtypes for every entry point (raises AttributeError if the
+    .so predates a symbol — caller treats that as a stale build)."""
+    lib.pf_pil_resize_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.pf_preprocess_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.pf_resize_batch_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.pf_resize_batch_u8_ptrs.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.pf_preprocess_batch_ptrs.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.pf_num_threads.restype = ctypes.c_int
+
+
 def _load():
     global _lib, _tried
     with _lock:
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO):
-            try:
-                subprocess.run(
-                    ["make", "-C", _DIR], check=True, capture_output=True
-                )
-            except Exception:
+        # ALWAYS run make before the first dlopen: it is a no-op when the .so
+        # is current, and it rebuilds a stale one from an older source
+        # revision. Rebuilding after a failed CDLL would not help — dlopen
+        # caches handles by path, so a same-process reload of the same path
+        # returns the stale mapping.
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+        except Exception:
+            if not os.path.exists(_SO):
                 return None
         try:
             lib = ctypes.CDLL(_SO)
-        except OSError:
+            _bind(lib)
+        except (OSError, AttributeError):
             return None
-        lib.pf_pil_resize_u8.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.pf_preprocess_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-        ]
-        lib.pf_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -105,6 +129,105 @@ def preprocess_batch(
         out.ctypes.data, out_h, out_w,
         mean.ctypes.data, std.ctypes.data, int(bgr_flip),
     )
+    return out
+
+
+def resize_batch_u8(
+    imgs: np.ndarray, out_h: int, out_w: int, bgr_flip: bool = False
+) -> np.ndarray:
+    """(N, H, W, 3) uint8 -> (N, out_h, out_w, 3) uint8, bit-exact PIL
+    bilinear. The uint8-wire serving path: 4x less host->device traffic than
+    the fused float32 preprocess; normalization happens on device (it fuses
+    into the first conv). Native OpenMP if available, numpy fallback."""
+    imgs = np.ascontiguousarray(imgs)
+    assert imgs.ndim == 4 and imgs.shape[-1] == 3 and imgs.dtype == np.uint8
+    lib = _load()
+    out = np.empty((imgs.shape[0], out_h, out_w, 3), np.uint8)
+    if lib is None:
+        from .ops.image import pil_resize_uint8 as np_resize
+
+        for i, im in enumerate(imgs):
+            r = np_resize(im, out_h, out_w)
+            out[i] = r[..., ::-1] if bgr_flip else r
+        return out
+    lib.pf_resize_batch_u8(
+        imgs.ctypes.data, imgs.shape[0], imgs.shape[1], imgs.shape[2],
+        out.ctypes.data, out_h, out_w, int(bgr_flip),
+    )
+    return out
+
+
+def _ptr_array(imgs, in_hw):
+    """Contiguity-checked array of frame pointers (keeps refs alive via the
+    returned list)."""
+    held = [np.ascontiguousarray(im) for im in imgs]
+    for im in held:
+        assert im.shape == (*in_hw, 3) and im.dtype == np.uint8, im.shape
+    arr = (ctypes.c_void_p * len(held))(
+        *[im.ctypes.data for im in held]
+    )
+    return arr, held
+
+
+def resize_list_u8(imgs, out_h: int, out_w: int, bgr_flip: bool = False,
+                   pad_to: int = 0) -> np.ndarray:
+    """List of (H, W, 3) uint8 frames -> (N, out_h, out_w, 3) uint8 batch,
+    bit-exact PIL bilinear, WITHOUT stacking the raw frames first (the
+    gather happens inside the resize — a full-frame memcpy saved per image,
+    which dominates on memory-bandwidth-poor hosts). ``pad_to``: pad the
+    batch to this size by repeating the last frame's pointer (zero-copy)."""
+    assert imgs, "empty frame list"
+    in_hw = imgs[0].shape[:2]
+    n = max(len(imgs), pad_to)
+    lib = _load()
+    if lib is None:
+        from .ops.image import pil_resize_uint8 as np_resize
+
+        out = np.empty((n, out_h, out_w, 3), np.uint8)
+        for i in range(n):
+            r = np_resize(imgs[min(i, len(imgs) - 1)], out_h, out_w)
+            out[i] = r[..., ::-1] if bgr_flip else r
+        return out
+    ptrs, held = _ptr_array(imgs, in_hw)
+    if n > len(imgs):
+        ptrs = (ctypes.c_void_p * n)(*list(ptrs), *([ptrs[-1]] * (n - len(imgs))))
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    lib.pf_resize_batch_u8_ptrs(
+        ptrs, n, in_hw[0], in_hw[1], out.ctypes.data, out_h, out_w,
+        int(bgr_flip),
+    )
+    del held
+    return out
+
+
+def preprocess_list(imgs, out_h: int, out_w: int, mean, std,
+                    bgr_flip: bool = False, pad_to: int = 0) -> np.ndarray:
+    """List of (H, W, 3) uint8 frames -> (N, out_h, out_w, 3) float32
+    normalized batch, without stacking the raw frames first."""
+    assert imgs, "empty frame list"
+    in_hw = imgs[0].shape[:2]
+    n = max(len(imgs), pad_to)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    lib = _load()
+    if lib is None:
+        from .ops.image import pil_resize_uint8 as np_resize
+
+        out = np.empty((n, out_h, out_w, 3), np.float32)
+        for i in range(n):
+            r = np_resize(imgs[min(i, len(imgs) - 1)], out_h, out_w)
+            r = r[..., ::-1] if bgr_flip else r
+            out[i] = (r.astype(np.float32) - mean) / std
+        return out
+    ptrs, held = _ptr_array(imgs, in_hw)
+    if n > len(imgs):
+        ptrs = (ctypes.c_void_p * n)(*list(ptrs), *([ptrs[-1]] * (n - len(imgs))))
+    out = np.empty((n, out_h, out_w, 3), np.float32)
+    lib.pf_preprocess_batch_ptrs(
+        ptrs, n, in_hw[0], in_hw[1], out.ctypes.data, out_h, out_w,
+        mean.ctypes.data, std.ctypes.data, int(bgr_flip),
+    )
+    del held
     return out
 
 

@@ -42,6 +42,51 @@ def test_native_bgr_flip():
     np.testing.assert_array_equal(flipped, plain[..., ::-1])
 
 
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_resize_batch_u8_bit_exact():
+    rng = np.random.default_rng(4)
+    batch = rng.integers(0, 256, size=(3, 200, 300, 3), dtype=np.uint8)
+    got = native.resize_batch_u8(batch, 320, 320)
+    for i in range(3):
+        want = np.asarray(
+            Image.fromarray(batch[i]).resize((320, 320), Image.BILINEAR)
+        )
+        np.testing.assert_array_equal(got[i], want)
+    flipped = native.resize_batch_u8(batch, 320, 320, bgr_flip=True)
+    np.testing.assert_array_equal(flipped, got[..., ::-1])
+
+
+def test_resize_list_matches_batch_and_pads():
+    """Pointer-array gather-resize == stacked-batch resize; pad_to repeats
+    the last frame (native and numpy fallback agree on the contract)."""
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, size=(100, 150, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    got = native.resize_list_u8(frames, 64, 64, pad_to=5)
+    assert got.shape == (5, 64, 64, 3)
+    want = native.resize_batch_u8(np.stack(frames), 64, 64)
+    np.testing.assert_array_equal(got[:3], want)
+    np.testing.assert_array_equal(got[3], got[2])
+    np.testing.assert_array_equal(got[4], got[2])
+
+
+def test_preprocess_list_matches_batch():
+    rng = np.random.default_rng(6)
+    frames = [
+        rng.integers(0, 256, size=(90, 70, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    mean = np.array([10.0, 20.0, 30.0], np.float32)
+    std = np.array([1.0, 2.0, 3.0], np.float32)
+    got = native.preprocess_list(frames, 48, 48, mean, std, bgr_flip=True)
+    want = native.preprocess_batch(
+        np.stack(frames), 48, 48, mean, std, bgr_flip=True
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_numpy_fallback_matches_native_shape():
     rng = np.random.default_rng(3)
     batch = rng.integers(0, 256, size=(2, 50, 70, 3), dtype=np.uint8)

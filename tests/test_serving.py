@@ -26,10 +26,11 @@ def tiny_model():
         return PerspectiveFields(version="custom", config=cfg)
 
 
-def test_streaming_matches_batch_api(tiny_model):
+@pytest.mark.parametrize("wire", ["u8", "f32"])
+def test_streaming_matches_batch_api(tiny_model, wire):
     rng = np.random.default_rng(0)
     imgs = [rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8) for _ in range(5)]
-    pred = BatchPredictor(tiny_model, batch_size=2, use_mesh=False)
+    pred = BatchPredictor(tiny_model, batch_size=2, use_mesh=False, wire=wire)
     outs = pred.predict(imgs)
     assert len(outs) == 5  # tail padding dropped
     ref = tiny_model.inference_batch(img_bgr_list=imgs)
@@ -41,6 +42,28 @@ def test_streaming_matches_batch_api(tiny_model):
         )
     summary = pred.timer.summary()
     assert "preprocess" in summary and "device_wait" in summary
+
+
+def test_select_limits_readback(tiny_model):
+    rng = np.random.default_rng(2)
+    imgs = [rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8) for _ in range(3)]
+    keys = ("pred_gravity",)
+    pred = BatchPredictor(
+        tiny_model, batch_size=2, use_mesh=False, select=keys
+    )
+    outs = pred.predict(imgs)
+    assert all(tuple(o.keys()) == keys for o in outs)
+    full = BatchPredictor(tiny_model, batch_size=2, use_mesh=False).predict(imgs)
+    np.testing.assert_allclose(
+        np.asarray(outs[1]["pred_gravity"], np.float32),
+        np.asarray(full[1]["pred_gravity"], np.float32),
+        atol=0,
+    )
+
+
+def test_bad_wire_rejected(tiny_model):
+    with pytest.raises(ValueError, match="wire"):
+        BatchPredictor(tiny_model, wire="f64")
 
 
 def test_streaming_with_mesh(tiny_model):

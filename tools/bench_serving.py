@@ -1,0 +1,144 @@
+"""Host-fed serving throughput: the REAL inference_batch user journey.
+
+Unlike bench.py (which pre-stages uint8 batches on device and measures the
+device-side pipeline), this measures the path a serving deployment actually
+runs (VERDICT r3 ask #2; reference journey: perspectivefields.py:207-221):
+
+    host numpy uint8 640px frames
+      -> native preprocess (OpenMP, PIL-exact resize; u8 or fused-f32 wire)
+      -> host->device transfer
+      -> jit forward (fused-attention kernel path, bf16)
+      -> device->host readback (selectable outputs)
+
+via serving.BatchPredictor, reporting img/s and the StageTimer breakdown.
+Wall time covers full consumption of the stream — every image's selected
+outputs land back in host numpy.
+
+Modes measured (each an honest serving product):
+  params:u8   camera-parameter service (roll/pitch/vfov/cx/cy readback),
+              uint8 wire — the throughput-optimal deployment
+  fields:u8   dense-field service (gravity+latitude at net res readback)
+  params:f32  params readback but float32 wire (fused host normalize) —
+              isolates the wire-format cost
+
+Writes docs/artifacts/serving_r4.json and prints one JSON line per mode.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# SERVE_CPU=1: plumbing smoke on an 8-device virtual CPU mesh (the box pins
+# jax to the TPU via sitecustomize; flags must be set before any jax op)
+if os.environ.get("SERVE_CPU"):
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+import jax
+
+if os.environ.get("SERVE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+import bench  # noqa: E402  (compilation cache config + make_params)
+from perspectivefields_tpu import PerspectiveFields, native
+from perspectivefields_tpu.serving import BatchPredictor
+
+PARAM_KEYS = (
+    "pred_roll", "pred_pitch", "pred_general_vfov", "pred_rel_cx",
+    "pred_rel_cy",
+)
+FIELD_KEYS = ("pred_gravity", "pred_latitude")
+
+
+def run_mode(model, images, batch_size, wire, select, warm_images, depth):
+    pred = BatchPredictor(
+        model, batch_size=batch_size, use_mesh=jax.device_count() > 1,
+        wire=wire, select=select, depth=depth,
+    )
+    # compile + relay warmup outside the timed region
+    for _ in pred.predict_iter(warm_images):
+        pass
+    pred.timer = type(pred.timer)()  # fresh stage counters
+    n = 0
+    t0 = time.perf_counter()
+    for out in pred.predict_iter(images):
+        n += 1
+    dt = time.perf_counter() - t0
+    return {
+        "images": n,
+        "seconds": round(dt, 3),
+        "images_per_sec": round(n / dt, 2),
+        "stages": pred.timer.summary(),
+    }
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    # non-TPU smoke: batch 8 = the virtual mesh's data-axis size
+    batch = int(os.environ.get("SERVE_BATCH", "128" if on_tpu else "8"))
+    nbatches = int(os.environ.get("SERVE_NBATCHES", "8" if on_tpu else "2"))
+
+    version = "Paramnet-360Cities-edina-centered"
+    # Build the param tree with the cheap eval_shape fill BEFORE constructing
+    # the API object: the constructor's random-init fallback is
+    # jit(model.init), which compiles the whole forward a second time
+    # (~12 min via the relay). Throughput does not depend on weight values.
+    from perspectivefields_tpu.config import model_zoo
+    from perspectivefields_tpu.models import PersNet
+    import jax.numpy as jnp
+
+    cfg = model_zoo[version]["config"]
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    params = bench.make_params(PersNet(cfg, dtype=dtype), cfg.resize)
+    model = PerspectiveFields(
+        version,
+        params=params,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+
+    rng = np.random.default_rng(0)
+    images = list(
+        rng.integers(
+            0, 256, size=(nbatches * batch, 640, 640, 3), dtype=np.uint8
+        )
+    )
+    warm = images[:batch]
+
+    results = {
+        "batch": batch,
+        "n_images": len(images),
+        "native_available": native.available(),
+        "host_threads": native.num_threads(),
+        "backend": jax.default_backend(),
+        "devices": jax.device_count(),
+        "modes": {},
+    }
+    modes = [
+        ("params:u8", "u8", PARAM_KEYS),
+        ("fields:u8", "u8", FIELD_KEYS),
+        ("params:f32", "f32", PARAM_KEYS),
+    ]
+    if os.environ.get("SERVE_MODES"):
+        wanted = os.environ["SERVE_MODES"].split(",")
+        modes = [m for m in modes if m[0] in wanted]
+    depth = int(os.environ.get("SERVE_DEPTH", "4" if on_tpu else "2"))
+    results["depth"] = depth
+    for name, wire, select in modes:
+        r = run_mode(model, images, batch, wire, select, warm, depth)
+        results["modes"][name] = r
+        print(json.dumps({"mode": name, **r}), flush=True)
+
+    out_path = os.path.join(
+        os.path.dirname(__file__), "..", "docs", "artifacts", "serving_r4.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"# wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
