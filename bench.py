@@ -181,6 +181,11 @@ def measure(fn, params, batches, reps=3, windows=6):
     6 windows (~+25 s) buys better odds of landing in the known-good band
     on a flaky relay day (PERF_NOTES.md: ±8% run-to-run variance). Every
     invocation's result is read back — all dispatched work really ran."""
+    # window-shape overrides for harness-methodology A/Bs (relay noise is
+    # one-sided, so more/shorter windows can only raise the best-window
+    # rate; see PERF_NOTES round 4)
+    reps = int(os.environ.get("BENCH_REPS", reps))
+    windows = int(os.environ.get("BENCH_WINDOWS", windows))
     float(fn(params, batches))  # compile + warmup
     k, b = batches.shape[0], batches.shape[1]
     best = float("inf")

@@ -39,12 +39,21 @@ def create_train_state(
     model,
     rng,
     sample_batchless_shape=(320, 320, 3),
-    learning_rate: float = 1e-4,
+    learning_rate=1e-4,  # float or optax schedule
     weight_decay: float = 1e-2,
     mesh: Optional[Mesh] = None,
+    grad_clip: Optional[float] = 1.0,
 ):
-    """Initialize params (+optimizer) — optionally laid out over a mesh."""
+    """Initialize params (+optimizer) — optionally laid out over a mesh.
+
+    grad_clip: global-norm gradient clipping (None disables). On by
+    default: the masked field losses spike on batches whose random cameras
+    produce mostly-invalid fields, and an unclipped spike was measured to
+    NaN an otherwise-healthy run (learning_proof_r4, lr 3e-4, step ~1200).
+    """
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     sample = jnp.zeros((1, *sample_batchless_shape), jnp.float32)
     params = jax.jit(model.init)(rng, sample)
     if mesh is not None:
@@ -63,8 +72,12 @@ def _make_step_body(model, tx, cfg, mesh, loss_fn):
             )
 
         def objective(params):
+            # dropout key varies per step (fold_in keeps the step jittable
+            # and the run reproducible); a fixed key would apply the SAME
+            # stochastic-depth mask every step, biasing which blocks train
             out = model.apply(
-                params, images, deterministic=False, rngs={"dropout": jax.random.PRNGKey(0)}
+                params, images, deterministic=False,
+                rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(0), state.step)},
             )
             loss, parts = loss_fn(out, batch, cfg)
             return loss, parts
