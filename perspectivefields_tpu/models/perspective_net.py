@@ -81,12 +81,20 @@ class PersNet(nn.Module):
                 name="latitude_head",
             )(hl, ll)
             if cfg.latitude.loss_type == "regression":
-                # straight-through clamp: forward identical to the reference's
-                # torch.clamp (latitude_head.py:191-192), but the gradient
-                # passes through — a hard clip has zero gradient outside
-                # [-1, 1] and ~99% of outputs saturate at random init, which
-                # would make the head untrainable from scratch.
-                lat = lat + jax.lax.stop_gradient(jnp.clip(lat, -1.0, 1.0) - lat)
+                # hard clamp, exactly the reference's torch.clamp
+                # (latitude_head.py:191-192): gradient 0 outside [-1, 1].
+                # Trainability from a saturated init comes from the overflow
+                # penalty in train/losses.py (latitude_regression_loss),
+                # which sees the pre-clamp value and pulls it back into
+                # range. A straight-through clamp (constant gradient 1) was
+                # measured letting an adam oscillation grow undamped until
+                # the head diverged and died (PERF_NOTES round 4) — the
+                # gravity head survives the same oscillation because its
+                # normalize's gradient shrinks as ||g|| grows.
+                raw = lat
+                lat = jnp.clip(raw, -1.0, 1.0)
+                if not deterministic:
+                    out["latitude_raw"] = raw
             out["pred_latitude"] = lat
 
         if cfg.param_on:

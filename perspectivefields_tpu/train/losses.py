@@ -19,6 +19,8 @@ Masking is branch-free (weighted means) so everything jits and shards.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -98,13 +100,28 @@ def gravity_regression_loss(
 
 
 def latitude_regression_loss(
-    pred: jnp.ndarray, target: jnp.ndarray, loss_weight: float = 1.0
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    loss_weight: float = 1.0,
+    raw: Optional[jnp.ndarray] = None,
 ):
-    """pred/target: (B, H, W, 1) sin-latitude. Reference: latitude_head.py:225-237."""
+    """pred/target: (B, H, W, 1) sin-latitude. Reference: latitude_head.py:225-237.
+
+    raw: the head's pre-clamp output (models emit it as 'latitude_raw' in
+    training mode). The clamp's gradient is zero outside [-1, 1], so with
+    ~99% of pixels saturated at random init the l2/msgil terms alone cannot
+    train the head; the quadratic overflow penalty supplies the restoring
+    gradient, and — unlike a straight-through clamp — it also bounds drift:
+    the pull back grows with the overflow (round-4 divergence postmortem in
+    PERF_NOTES.md)."""
     mask = jnp.ones_like(pred, dtype=bool)
     msg = 0.1 * msgil_norm_loss(pred, target, mask) * loss_weight
     l2 = jnp.mean((pred - target) ** 2) * loss_weight
-    return {"latitude-msg-normal-loss": msg, "latitude-l2-loss": l2}
+    out = {"latitude-msg-normal-loss": msg, "latitude-l2-loss": l2}
+    if raw is not None:
+        overflow = jnp.maximum(jnp.abs(raw) - 1.0, 0.0)
+        out["latitude-sat-loss"] = jnp.mean(overflow**2) * loss_weight
+    return out
 
 
 def cross_entropy_loss(
@@ -161,7 +178,10 @@ def total_loss(outputs: dict, batch: dict, cfg) -> tuple[jnp.ndarray, dict]:
         if cfg.latitude.loss_type == "regression":
             losses.update(
                 latitude_regression_loss(
-                    outputs["pred_latitude"], batch["gt_latitude"], cfg.latitude.loss_weight
+                    outputs["pred_latitude"],
+                    batch["gt_latitude"],
+                    cfg.latitude.loss_weight,
+                    raw=outputs.get("latitude_raw"),
                 )
             )
         else:

@@ -255,3 +255,67 @@ def test_fused_train_loop_matches_unfused():
     # tight loss-trajectory match above is the semantic-equality check.
     for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_latitude_clamp_exact_and_saturated_trainable():
+    """Round-4 divergence regression (PERF_NOTES postmortem): in training
+    mode pred_latitude must be EXACTLY the hard clamp of the head's raw
+    output at ANY magnitude (the old straight-through form returned 0.0 for
+    |raw| >= 2^24 — a dead head), the raw output must be exposed as
+    latitude_raw, and the overflow penalty must give a saturated pixel a
+    restoring gradient that GROWS with the drift (what bounds the runaway
+    the straight-through clamp allowed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from perspectivefields_tpu.config import (
+        BackboneConfig,
+        GravityHeadConfig,
+        LatitudeHeadConfig,
+        ModelConfig,
+    )
+    from perspectivefields_tpu.models import PersNet
+
+    cfg = ModelConfig(
+        version="custom",
+        backbone=BackboneConfig(
+            dims=(8, 16, 24, 32), depths=(1, 1, 1, 1), num_heads=(1, 2, 3, 4)
+        ),
+        gravity=GravityHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        latitude=LatitudeHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        resize=(32, 32),
+    )
+    model = PersNet(cfg, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(
+        params, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    raw = out["latitude_raw"]
+    np.testing.assert_array_equal(
+        np.asarray(out["pred_latitude"]), np.clip(np.asarray(raw), -1.0, 1.0)
+    )
+    # inference mode: no training-only key leaks into the output contract
+    out_det = model.apply(params, x, deterministic=True)
+    assert "latitude_raw" not in out_det
+
+    # the exact-clamp property at catastrophic magnitudes, and the growing
+    # restoring gradient, on the loss itself
+    gt = jnp.zeros((1, 4, 4, 1), jnp.float32)
+
+    def sat_only(r):
+        return latitude_regression_loss(jnp.clip(r, -1, 1), gt, raw=r)[
+            "latitude-sat-loss"
+        ]
+
+    for mag in (1.5, 2.0**22, 2.0**26):
+        r = jnp.full((1, 4, 4, 1), mag, jnp.float32)
+        g = jax.grad(sat_only)(r)
+        assert float(jnp.min(g)) > 0.0, mag  # pulls back toward the range
+    g_small = jax.grad(sat_only)(jnp.full((1, 4, 4, 1), 2.0, jnp.float32))
+    g_big = jax.grad(sat_only)(jnp.full((1, 4, 4, 1), 8.0, jnp.float32))
+    assert float(jnp.min(g_big)) > float(jnp.max(g_small))  # grows with drift
+    # in-range raw: no penalty, no gradient
+    r_in = jnp.full((1, 4, 4, 1), 0.5, jnp.float32)
+    assert float(sat_only(r_in)) == 0.0
+    np.testing.assert_array_equal(np.asarray(jax.grad(sat_only)(r_in)), 0.0)
