@@ -147,7 +147,15 @@ def make_params(model, resize=(320, 320)):
     (~12 min via the relay). Normalization statistics/scales get their init
     values (a random 'var' can be negative -> sqrt NaN poisons the checksum
     that proves the work wasn't elided); only genuine weights are
-    randomized. Throughput does not depend on weight values."""
+    randomized. Throughput does not depend on weight values.
+
+    Params are stored in the model's compute dtype (bf16 serving form —
+    matching api.py's bfloat16 path): XLA hoists most of the per-scan-
+    iteration f32->bf16 weight converts, but the f32 master copy still
+    measured -1.2 img/s vs pre-cast bf16 in a same-moment A/B
+    (tools/bench_pdtype.py: 623.4 / 624.2 kernels-only / 624.6 all,
+    PERF_NOTES round 4). BENCH_PARAM_DTYPE=float32 restores the master-copy
+    variant for archaeology."""
     shapes = jax.eval_shape(
         model.init,
         jax.random.PRNGKey(0),
@@ -165,10 +173,19 @@ def make_params(model, resize=(320, 320)):
             prng.standard_normal(s.shape, dtype=np.float32) * 0.02, s.dtype
         )
 
-    return jax.device_put(jax.tree_util.tree_map_with_path(_fill, shapes))
+    params = jax.tree_util.tree_map_with_path(_fill, shapes)
+    serve_dt = getattr(model, "dtype", jnp.float32)
+    if (
+        serve_dt != jnp.float32
+        and os.environ.get("BENCH_PARAM_DTYPE", "") != "float32"
+    ):
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(serve_dt) if x.dtype == jnp.float32 else x, params
+        )
+    return jax.device_put(params)
 
 
-def measure(fn, params, batches, reps=3, windows=6):
+def measure(fn, params, batches, reps=3, windows=8):
     """Pipelined steady-state throughput: dispatch `reps` invocations
     back-to-back (async dispatch queues them; the device runs them in
     order) and read every result at the end, so the ~30 ms per-invocation
@@ -178,7 +195,7 @@ def measure(fn, params, batches, reps=3, windows=6):
     the device rate by ~1% at K=16. Best window of `windows` guards
     against relay latency spikes — relay noise is one-sided (it only adds
     latency), so max-rate-over-windows converges to the true device rate;
-    6 windows (~+25 s) buys better odds of landing in the known-good band
+    8 windows (~+35 s) buys better odds of landing in the known-good band
     on a flaky relay day (PERF_NOTES.md: ±8% run-to-run variance). Every
     invocation's result is read back — all dispatched work really ran."""
     # window-shape overrides for harness-methodology A/Bs (relay noise is

@@ -119,9 +119,11 @@ class PerspectiveFields:
             (.npz / orbax dir). Defaults to
             ``perspectivefields_tpu/weights/<version>.npz`` if present, else
             random init (with a warning — fields will be meaningless).
-        compute_dtype: "bfloat16" (fast TPU path) or "float32" (parity —
-            bit-stable vs the XLA einsum path as long as use_pallas stays
-            at its default/False).
+        compute_dtype: "bfloat16" (fast TPU path; weights are stored
+            pre-cast to bfloat16 — the serving form the forward computes
+            with either way) or "float32" (parity — bit-stable vs the XLA
+            einsum path as long as use_pallas stays at its default/False;
+            keeps the f32 master weights).
         use_pallas: fused attention-block Pallas kernel (projections +
             softmax, VMEM-resident). Default: on for bfloat16 on TPU; it
             self-gates to shapes where it wins and XLA handles the rest.
@@ -180,6 +182,20 @@ class PerspectiveFields:
             fuse_block=fuse_block,
         )
         self.params = self._init_params(params)
+        if dtype == jnp.bfloat16:
+            # Serving-dtype weights: on the bfloat16 path every weight is
+            # consumed as `kernel.astype(bfloat16)` anyway, so storing the
+            # tree pre-cast serves the same values while halving the param
+            # HBM footprint and dropping the f32 master copy's residual
+            # per-call convert traffic (same-moment A/B: 623.4 -> 624.6
+            # img/s, tools/bench_pdtype.py, PERF_NOTES round 4). float32
+            # remains the parity path with the master copy untouched.
+            self.params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if getattr(x, "dtype", None) == jnp.float32
+                else x,
+                self.params,
+            )
         self._pixel_mean = np.asarray(config.pixel_mean, np.float32)
         self._pixel_std = np.asarray(config.pixel_std, np.float32)
 

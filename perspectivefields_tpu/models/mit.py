@@ -423,10 +423,16 @@ class MixViT(nn.Module):
     use_pallas: bool = False
     fuse_ffn: bool = False
     fuse_block: bool = False
+    # jax.checkpoint each Block for the backward pass (training memory);
+    # same param tree (lifted transforms keep the module name/scope).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, ...]:
         spec = self.spec
+        # static_argnums=(2,): `deterministic` is a python bool branching
+        # the trace (dropout on/off), not a traced value
+        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         total_depth = sum(spec.depths)
         # linear stochastic-depth decay (mix_transformers.py:306-308)
         dpr = [
@@ -445,7 +451,7 @@ class MixViT(nn.Module):
                 name=f"patch_embed{s + 1}",
             )(x)
             for i in range(spec.depths[s]):
-                x = Block(
+                x = block_cls(
                     dim=spec.dims[s],
                     num_heads=spec.num_heads[s],
                     sr_ratio=spec.sr_ratios[s],

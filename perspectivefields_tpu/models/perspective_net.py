@@ -36,6 +36,13 @@ class PersNet(nn.Module):
     # Whole-block fused kernel in the backbone (attention + LN2 + MixFFN +
     # skips in one VMEM program; inference-only; same param tree).
     fuse_block: bool = False
+    # Rematerialize backbone blocks in the backward pass (jax.checkpoint):
+    # trades ~1/3 extra forward FLOPs for not keeping every block's
+    # intermediates alive until the backward sweep. Required to train the
+    # full mit_b3 at 320^2 on a single 16 GB chip (without it the backward
+    # keeps ~18 stage-3 FFN hiddens alive and the step OOMs at any useful
+    # batch). Identical param tree and numerics; inference ignores it.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -52,7 +59,7 @@ class PersNet(nn.Module):
         cfg = self.cfg
         hl = MixViT(
             cfg.backbone, self.dtype, self.use_pallas, self.fuse_ffn,
-            self.fuse_block, name="backbone"
+            self.fuse_block, self.remat, name="backbone"
         )(images, deterministic)
         ll = LowLevelEncoder(dtype=self.dtype, name="ll_enc")(images)
 

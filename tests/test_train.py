@@ -319,3 +319,60 @@ def test_latitude_clamp_exact_and_saturated_trainable():
     r_in = jnp.full((1, 4, 4, 1), 0.5, jnp.float32)
     assert float(sat_only(r_in)) == 0.0
     np.testing.assert_array_equal(np.asarray(jax.grad(sat_only)(r_in)), 0.0)
+
+
+def test_remat_backbone_identical_loss_and_grads():
+    """PersNet(remat=True) must be a pure memory/FLOPs trade: identical
+    param tree, loss, and gradients vs the un-rematted model (f32, no
+    stochasticity). Guards the nn.remat wrapping in models/mit.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from perspectivefields_tpu.config import (
+        BackboneConfig,
+        GravityHeadConfig,
+        LatitudeHeadConfig,
+        ModelConfig,
+    )
+    from perspectivefields_tpu.models import PersNet
+    from perspectivefields_tpu.train.losses import total_loss
+
+    cfg = ModelConfig(
+        backbone=BackboneConfig(
+            dims=(8, 16, 24, 32), depths=(1, 2, 1, 1), num_heads=(1, 2, 3, 4)
+        ),
+        gravity=GravityHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        latitude=LatitudeHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        param=None,
+        resize=(64, 64),
+    )
+    plain = PersNet(cfg)
+    remat = PersNet(cfg, remat=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32
+    )
+    params = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+    # identical param tree: remat can consume the plain model's params
+    chex = jax.tree_util.tree_structure(params)
+    assert jax.tree_util.tree_structure(jax.eval_shape(remat.init, jax.random.PRNGKey(0), x)) == chex
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": x,
+        "gt_gravity": jnp.asarray(rng.normal(size=(2, 64, 64, 2)), jnp.float32),
+        "gt_latitude": jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 1)), jnp.float32),
+    }
+
+    def loss_of(model):
+        def f(p):
+            out = model.apply(p, batch["image"])
+            return total_loss(out, batch, cfg)[0]
+
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    l0, g0 = loss_of(plain)
+    l1, g1 = loss_of(remat)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6), g0, g1
+    )

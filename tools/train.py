@@ -79,7 +79,13 @@ def main():
         recover_rpf=True,
         resize=(args.size, args.size),
     )
-    model = PersNet(cfg, dtype=jnp.bfloat16 if not args.tiny else jnp.float32)
+    # remat: full mit_b3 at 320^2 OOMs the 16 GB chip in the backward
+    # without per-block rematerialization (even at batch 16)
+    model = PersNet(
+        cfg,
+        dtype=jnp.bfloat16 if not args.tiny else jnp.float32,
+        remat=not args.tiny,
+    )
 
     mesh = make_mesh() if jax.device_count() > 1 else None
     state, tx = create_train_state(
