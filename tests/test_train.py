@@ -376,3 +376,82 @@ def test_remat_backbone_identical_loss_and_grads():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6), g0, g1
     )
+
+
+def test_single_batch_overfit_learns():
+    """The trainer must LEARN, not merely descend: overfitting one fixed
+    synthetic batch with the production step (AdamW + clip + total_loss)
+    must drive the per-pixel up angular error on that batch from random
+    (~40-90 deg) to near-memorized. This is the tiny-scale reproduction of
+    the TPU learning proof (tools/learning_proof.py,
+    docs/artifacts/learning_proof_r4.json) and the regression guard for the
+    latitude-head divergence fixed in round 4 (PERF_NOTES.md postmortem:
+    the old straight-through clamp let this exact probe blow up to grad
+    norm 1e16 by step ~400)."""
+    import jax
+    import jax.numpy as jnp
+
+    from perspectivefields_tpu.config import (
+        BackboneConfig,
+        GravityHeadConfig,
+        LatitudeHeadConfig,
+        ModelConfig,
+    )
+    from perspectivefields_tpu.data import data_iterator
+    from perspectivefields_tpu.evaluation import field_metrics
+    from perspectivefields_tpu.models import PersNet
+    from perspectivefields_tpu.train import create_train_state, make_train_loop
+
+    cfg = ModelConfig(
+        backbone=BackboneConfig(
+            dims=(8, 16, 24, 32), depths=(1, 1, 1, 1), num_heads=(1, 2, 3, 4)
+        ),
+        gravity=GravityHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        latitude=LatitudeHeadConfig(loss_type="regression", embed_dim=16, fusion_dim=16),
+        param=None,
+        resize=(64, 64),
+    )
+    model = PersNet(cfg)
+    mean = jnp.asarray(cfg.pixel_mean)
+
+    batch = next(data_iterator(jax.random.PRNGKey(7), batch_size=2, im_hw=(64, 64)))
+    batch = dict(batch, image=batch["image"] - mean)
+    for k in ("cams", "gt_params"):
+        batch.pop(k, None)
+
+    state, tx = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        sample_batchless_shape=(64, 64, 3),
+        learning_rate=1e-3,
+    )
+
+    def metrics_of(params):
+        out = jax.jit(lambda p, x: model.apply(p, x, deterministic=True))(
+            params, batch["image"]
+        )
+        pred_lat = jnp.degrees(jnp.arcsin(jnp.clip(out["pred_latitude"][..., 0], -1, 1)))
+        gt_lat = jnp.degrees(jnp.arcsin(batch["gt_latitude"][..., 0]))
+        m = field_metrics(out["pred_gravity"], batch["gt_gravity"], pred_lat, gt_lat)
+        return {k: float(v) for k, v in m.items()}
+
+    before = metrics_of(state.params)
+
+    # 300 steps in 6 scanned dispatches; the batch_fn ignores the step index
+    # (same batch every step = overfit probe)
+    loop = make_train_loop(model, tx, cfg, lambda step: batch, chunk=50)
+    first_loss = None
+    for _ in range(6):
+        state, m = loop(state)
+        if first_loss is None:
+            first_loss = float(m["loss"][0])
+    last_loss = float(m["loss"][-1])
+
+    after = metrics_of(state.params)
+    # memorization bar: large relative improvement and small absolute error
+    # (the CPU probe behind the round-4 postmortem reached ~10 deg by step
+    # 200 at this lr; 20 deg leaves margin across seeds/BLAS)
+    assert last_loss < first_loss / 5, (first_loss, last_loss)
+    assert after["up_mean_deg"] < 20.0, (before, after)
+    assert after["up_mean_deg"] < before["up_mean_deg"] / 2, (before, after)
+    assert np.isfinite(last_loss)
