@@ -22,9 +22,20 @@ _lib = None
 _tried = False
 
 
+# set by _bind: does the loaded .so export the pointer-gather entry points
+# (added after the stacked-batch ones)? A prebuilt .so from an older source
+# revision that can't be rebuilt (no toolchain) keeps its working stacked
+# entry points; only the ptr paths degrade.
+_has_ptrs = False
+
+
 def _bind(lib) -> None:
-    """Declare argtypes for every entry point (raises AttributeError if the
-    .so predates a symbol — caller treats that as a stale build)."""
+    """Declare argtypes per symbol GROUP: the core entry points are
+    mandatory (raises AttributeError -> caller treats the .so as unusable),
+    the newer pointer-gather ones are optional (missing -> _has_ptrs stays
+    False and resize_list_u8/preprocess_list fall back to stack + the
+    stacked native path instead of disabling native entirely)."""
+    global _has_ptrs
     lib.pf_pil_resize_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -38,18 +49,22 @@ def _bind(lib) -> None:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
-    lib.pf_resize_batch_u8_ptrs.argtypes = [
-        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    ]
-    lib.pf_preprocess_batch_ptrs.argtypes = [
-        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-    ]
     lib.pf_num_threads.restype = ctypes.c_int
+    try:
+        lib.pf_resize_batch_u8_ptrs.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pf_preprocess_batch_ptrs.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        _has_ptrs = True
+    except AttributeError:
+        _has_ptrs = False
 
 
 def _load():
@@ -157,16 +172,23 @@ def resize_batch_u8(
     return out
 
 
-def _ptr_array(imgs, in_hw):
-    """Contiguity-checked array of frame pointers (keeps refs alive via the
-    returned list)."""
+def _ptr_array(imgs, in_hw, pad_to: int = 0):
+    """Contiguity-checked array of frame pointers, padded to ``pad_to``
+    entries by repeating the last frame's pointer (zero-copy). Keeps frame
+    refs alive via the returned list — the caller must hold it until the
+    native call returns. Explicit validation (not assert): a mismatched
+    frame handed to the native gather would be an out-of-bounds read."""
     held = [np.ascontiguousarray(im) for im in imgs]
-    for im in held:
-        assert im.shape == (*in_hw, 3) and im.dtype == np.uint8, im.shape
-    arr = (ctypes.c_void_p * len(held))(
-        *[im.ctypes.data for im in held]
-    )
-    return arr, held
+    for i, im in enumerate(held):
+        if im.shape != (*in_hw, 3) or im.dtype != np.uint8:
+            raise ValueError(
+                f"frame {i}: expected uint8 {(*in_hw, 3)} (the batch's first"
+                f" frame shape), got {im.dtype} {im.shape}"
+            )
+    n = max(len(held), pad_to)
+    ptrs = [im.ctypes.data for im in held]
+    ptrs += [ptrs[-1]] * (n - len(held))
+    return (ctypes.c_void_p * n)(*ptrs), held
 
 
 def resize_list_u8(imgs, out_h: int, out_w: int, bgr_flip: bool = False,
@@ -176,21 +198,32 @@ def resize_list_u8(imgs, out_h: int, out_w: int, bgr_flip: bool = False,
     gather happens inside the resize — a full-frame memcpy saved per image,
     which dominates on memory-bandwidth-poor hosts). ``pad_to``: pad the
     batch to this size by repeating the last frame's pointer (zero-copy)."""
-    assert imgs, "empty frame list"
+    if not imgs:
+        raise ValueError("empty frame list")
     in_hw = imgs[0].shape[:2]
     n = max(len(imgs), pad_to)
     lib = _load()
-    if lib is None:
-        from .ops.image import pil_resize_uint8 as np_resize
+    if lib is None or not _has_ptrs:
+        if lib is not None:  # old .so: stacked native path (still fast)
+            stacked = np.ascontiguousarray(np.stack(imgs))
+            out = np.empty((len(imgs), out_h, out_w, 3), np.uint8)
+            lib.pf_resize_batch_u8(
+                stacked.ctypes.data, len(imgs), in_hw[0], in_hw[1],
+                out.ctypes.data, out_h, out_w, int(bgr_flip),
+            )
+        else:
+            from .ops.image import pil_resize_uint8 as np_resize
 
-        out = np.empty((n, out_h, out_w, 3), np.uint8)
-        for i in range(n):
-            r = np_resize(imgs[min(i, len(imgs) - 1)], out_h, out_w)
-            out[i] = r[..., ::-1] if bgr_flip else r
+            out = np.empty((len(imgs), out_h, out_w, 3), np.uint8)
+            for i, im in enumerate(imgs):
+                r = np_resize(im, out_h, out_w)
+                out[i] = r[..., ::-1] if bgr_flip else r
+        if n > len(imgs):  # pad rows: copy the last result, don't recompute
+            out = np.concatenate(
+                [out, np.broadcast_to(out[-1], (n - len(imgs), *out.shape[1:]))]
+            )
         return out
-    ptrs, held = _ptr_array(imgs, in_hw)
-    if n > len(imgs):
-        ptrs = (ctypes.c_void_p * n)(*list(ptrs), *([ptrs[-1]] * (n - len(imgs))))
+    ptrs, held = _ptr_array(imgs, in_hw, pad_to=n)
     out = np.empty((n, out_h, out_w, 3), np.uint8)
     lib.pf_resize_batch_u8_ptrs(
         ptrs, n, in_hw[0], in_hw[1], out.ctypes.data, out_h, out_w,
@@ -204,24 +237,36 @@ def preprocess_list(imgs, out_h: int, out_w: int, mean, std,
                     bgr_flip: bool = False, pad_to: int = 0) -> np.ndarray:
     """List of (H, W, 3) uint8 frames -> (N, out_h, out_w, 3) float32
     normalized batch, without stacking the raw frames first."""
-    assert imgs, "empty frame list"
+    if not imgs:
+        raise ValueError("empty frame list")
     in_hw = imgs[0].shape[:2]
     n = max(len(imgs), pad_to)
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
     lib = _load()
-    if lib is None:
-        from .ops.image import pil_resize_uint8 as np_resize
+    if lib is None or not _has_ptrs:
+        if lib is not None:  # old .so: stacked native path (still fast)
+            stacked = np.ascontiguousarray(np.stack(imgs))
+            out = np.empty((len(imgs), out_h, out_w, 3), np.float32)
+            lib.pf_preprocess_batch(
+                stacked.ctypes.data, len(imgs), in_hw[0], in_hw[1],
+                out.ctypes.data, out_h, out_w,
+                mean.ctypes.data, std.ctypes.data, int(bgr_flip),
+            )
+        else:
+            from .ops.image import pil_resize_uint8 as np_resize
 
-        out = np.empty((n, out_h, out_w, 3), np.float32)
-        for i in range(n):
-            r = np_resize(imgs[min(i, len(imgs) - 1)], out_h, out_w)
-            r = r[..., ::-1] if bgr_flip else r
-            out[i] = (r.astype(np.float32) - mean) / std
+            out = np.empty((len(imgs), out_h, out_w, 3), np.float32)
+            for i, im in enumerate(imgs):
+                r = np_resize(im, out_h, out_w)
+                r = r[..., ::-1] if bgr_flip else r
+                out[i] = (r.astype(np.float32) - mean) / std
+        if n > len(imgs):  # pad rows: copy the last result, don't recompute
+            out = np.concatenate(
+                [out, np.broadcast_to(out[-1], (n - len(imgs), *out.shape[1:]))]
+            )
         return out
-    ptrs, held = _ptr_array(imgs, in_hw)
-    if n > len(imgs):
-        ptrs = (ctypes.c_void_p * n)(*list(ptrs), *([ptrs[-1]] * (n - len(imgs))))
+    ptrs, held = _ptr_array(imgs, in_hw, pad_to=n)
     out = np.empty((n, out_h, out_w, 3), np.float32)
     lib.pf_preprocess_batch_ptrs(
         ptrs, n, in_hw[0], in_hw[1], out.ctypes.data, out_h, out_w,

@@ -136,6 +136,13 @@ class BatchPredictor:
                     x = shard_batch(self.mesh, x)
                 out = self._fwd(self.model.params, x)  # async
                 if self.select is not None:
+                    missing = [k for k in self.select if k not in out]
+                    if missing:
+                        raise ValueError(
+                            f"select keys {missing} not in the model's "
+                            f"outputs {sorted(out)} — e.g. pred_roll/pitch "
+                            "need a ParamNet-enabled version"
+                        )
                     out = {k: out[k] for k in self.select}
                 # start the device->host copy NOW; _drain's np.asarray later
                 # finds the data already (or still) in flight instead of

@@ -247,3 +247,38 @@ def test_bfloat16_path_stores_serving_dtype_params(tiny_api):
         np.abs(ref["pred_latitude_original"] - got["pred_latitude_original"]).mean()
         < 5.0
     )
+
+
+def test_params_inplace_graft_reaches_mesh_path(tiny_api):
+    """Grafting a SUBTREE in place (without rebinding model.params) must
+    also invalidate the replicated-copy cache: the cache key covers leaf
+    identities, not just the root dict's."""
+    import jax
+
+    assert tiny_api._data_mesh is not None
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)] * 2
+
+    base = tiny_api.inference_batch(imgs)
+    old_params = tiny_api.params
+    import copy
+
+    try:
+        # graft scaled leaves into the SAME root dict object
+        scaled = jax.tree.map(lambda a: a * 2.0, old_params)
+        tiny_api.params = copy.copy(old_params)  # same leaves, new root
+        tiny_api.params["params"] = scaled["params"]  # in-place-style graft
+        swapped = tiny_api.inference_batch(imgs)
+        single = tiny_api.inference(imgs[0])
+        np.testing.assert_allclose(
+            swapped[0]["pred_latitude_original"],
+            single["pred_latitude_original"],
+            atol=1e-5,
+        )
+        assert not np.allclose(
+            swapped[0]["pred_latitude_original"],
+            base[0]["pred_latitude_original"],
+            atol=1e-5,
+        )
+    finally:
+        tiny_api.params = old_params

@@ -94,3 +94,25 @@ def test_numpy_fallback_matches_native_shape():
     std = np.array([1.0, 2.0, 3.0], np.float32)
     out = native.preprocess_batch(batch, 32, 32, mean, std)
     assert out.shape == (2, 32, 32, 3) and out.dtype == np.float32
+
+
+def test_mismatched_frame_raises():
+    """A frame whose shape/dtype differs from the batch's first frame must
+    raise a clean ValueError (never reach the native gather: that would be
+    an out-of-bounds read)."""
+    import pytest
+
+    rng = np.random.default_rng(9)
+    good = rng.integers(0, 256, size=(50, 60, 3), dtype=np.uint8)
+    small = rng.integers(0, 256, size=(40, 60, 3), dtype=np.uint8)
+    floaty = good.astype(np.float32)
+    if native.available():
+        with pytest.raises(ValueError, match="frame 1"):
+            native.resize_list_u8([good, small], 32, 32)
+        with pytest.raises(ValueError, match="frame 1"):
+            native.preprocess_list(
+                [good, floaty], 32, 32, np.zeros(3, np.float32),
+                np.ones(3, np.float32),
+            )
+    with pytest.raises(ValueError):
+        native.resize_list_u8([], 32, 32)

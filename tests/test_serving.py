@@ -78,3 +78,19 @@ def test_streaming_with_mesh(tiny_model):
         ref["pred_gravity"],
         atol=5e-4,
     )
+
+
+def test_select_missing_key_fails_fast(tiny_model):
+    """An unknown select key must raise an informative ValueError naming the
+    valid output keys, not a bare KeyError after dispatch."""
+    import pytest
+
+    from perspectivefields_tpu.serving import BatchPredictor
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)]
+    bp = BatchPredictor(
+        tiny_model, batch_size=2, use_mesh=False, select=("no_such_output",)
+    )
+    with pytest.raises(ValueError, match="no_such_output"):
+        list(bp.predict_iter(imgs))
