@@ -64,6 +64,48 @@ def test_select_limits_readback(tiny_model):
 def test_bad_wire_rejected(tiny_model):
     with pytest.raises(ValueError, match="wire"):
         BatchPredictor(tiny_model, wire="f64")
+    with pytest.raises(ValueError, match="out_wire"):
+        BatchPredictor(tiny_model, out_wire="bf16")
+
+
+@pytest.mark.parametrize("out_wire,atol", [("f16", 2e-3), ("u8", 0.01)])
+def test_out_wire_compact_readback(tiny_model, out_wire, atol):
+    """Compact device->host encodings decode back to float32 within the
+    documented error bound (f16 ~5e-4; u8 fixed-point 1/255 per channel)."""
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8) for _ in range(5)]
+    pred = BatchPredictor(
+        tiny_model, batch_size=2, use_mesh=False, out_wire=out_wire
+    )
+    outs = pred.predict(imgs)
+    assert len(outs) == 5
+    ref = BatchPredictor(tiny_model, batch_size=2, use_mesh=False).predict(imgs)
+    for i in range(5):
+        for k in ("pred_gravity", "pred_latitude"):
+            got = outs[i][k]
+            assert got.dtype == np.float32  # decoded, not raw wire bytes
+            np.testing.assert_allclose(
+                got, np.asarray(ref[i][k], np.float32), atol=atol
+            )
+    # u8 wire must actually keep the bounded fields in [-1, 1]
+    if out_wire == "u8":
+        assert pred._pack_modes["pred_gravity"] == "u8"
+        assert pred._pack_modes["pred_latitude"] == "u8"
+        assert np.all(np.abs(outs[0]["pred_latitude"]) <= 1.0 + 1e-6)
+
+
+def test_out_wire_u8_params_fall_back_to_f16(tiny_model):
+    """Unbounded outputs (camera params, if present) must never be u8-packed;
+    with select on a bounded key only, the pack map is exactly u8."""
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)]
+    pred = BatchPredictor(
+        tiny_model, batch_size=2, use_mesh=False, out_wire="u8",
+        select=("pred_gravity",),
+    )
+    outs = pred.predict(imgs)
+    assert set(pred._pack_modes) == {"pred_gravity"}
+    assert outs[0]["pred_gravity"].dtype == np.float32
 
 
 def test_streaming_with_mesh(tiny_model):

@@ -15,11 +15,14 @@ Wall time covers full consumption of the stream — every image's selected
 outputs land back in host numpy.
 
 Modes measured (each an honest serving product):
-  params:u8   camera-parameter service (roll/pitch/vfov/cx/cy readback),
-              uint8 wire — the throughput-optimal deployment
-  fields:u8   dense-field service (gravity+latitude at net res readback)
-  params:f32  params readback but float32 wire (fused host normalize) —
-              isolates the wire-format cost
+  params:u8       camera-parameter service (roll/pitch/vfov/cx/cy readback),
+                  uint8 wire — the throughput-optimal deployment
+  fields:u8       dense-field service (gravity+latitude at net res readback),
+                  float32 readback — isolates the output-wire cost
+  fields:u8:f16o  same service, f16 output wire (2x less readback)
+  fields:u8:u8o   same service, u8 fixed-point output wire (4x less readback)
+  params:f32      params readback but float32 input wire (fused host
+                  normalize) — isolates the input-wire-format cost
 
 Writes docs/artifacts/serving_r4.json and prints one JSON line per mode.
 """
@@ -54,10 +57,11 @@ PARAM_KEYS = (
 FIELD_KEYS = ("pred_gravity", "pred_latitude")
 
 
-def run_mode(model, images, batch_size, wire, select, warm_images, depth):
+def run_mode(model, images, batch_size, wire, select, warm_images, depth,
+             out_wire=None):
     pred = BatchPredictor(
         model, batch_size=batch_size, use_mesh=jax.device_count() > 1,
-        wire=wire, select=select, depth=depth,
+        wire=wire, select=select, depth=depth, out_wire=out_wire,
     )
     # compile + relay warmup outside the timed region
     for _ in pred.predict_iter(warm_images):
@@ -118,17 +122,20 @@ def main():
         "modes": {},
     }
     modes = [
-        ("params:u8", "u8", PARAM_KEYS),
-        ("fields:u8", "u8", FIELD_KEYS),
-        ("params:f32", "f32", PARAM_KEYS),
+        ("params:u8", "u8", PARAM_KEYS, None),
+        ("fields:u8", "u8", FIELD_KEYS, None),
+        ("fields:u8:f16o", "u8", FIELD_KEYS, "f16"),
+        ("fields:u8:u8o", "u8", FIELD_KEYS, "u8"),
+        ("params:f32", "f32", PARAM_KEYS, None),
     ]
     if os.environ.get("SERVE_MODES"):
         wanted = os.environ["SERVE_MODES"].split(",")
         modes = [m for m in modes if m[0] in wanted]
     depth = int(os.environ.get("SERVE_DEPTH", "4" if on_tpu else "2"))
     results["depth"] = depth
-    for name, wire, select in modes:
-        r = run_mode(model, images, batch, wire, select, warm, depth)
+    for name, wire, select, out_wire in modes:
+        r = run_mode(model, images, batch, wire, select, warm, depth,
+                     out_wire=out_wire)
         results["modes"][name] = r
         print(json.dumps({"mode": name, **r}), flush=True)
 
