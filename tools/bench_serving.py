@@ -133,17 +133,19 @@ def main():
         modes = [m for m in modes if m[0] in wanted]
     depth = int(os.environ.get("SERVE_DEPTH", "4" if on_tpu else "2"))
     results["depth"] = depth
+    out_path = os.path.join(
+        os.path.dirname(__file__), "..", "docs", "artifacts", "serving_r4.json"
+    )
     for name, wire, select, out_wire in modes:
         r = run_mode(model, images, batch, wire, select, warm, depth,
                      out_wire=out_wire)
         results["modes"][name] = r
         print(json.dumps({"mode": name, **r}), flush=True)
-
-    out_path = os.path.join(
-        os.path.dirname(__file__), "..", "docs", "artifacts", "serving_r4.json"
-    )
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        # write after every mode: the cold-cache XLA compile through the
+        # relay can exceed any sane timeout, and a killed run must not
+        # lose the modes that did complete
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
     print(f"# wrote {out_path}", file=sys.stderr)
 
 
