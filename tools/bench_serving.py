@@ -24,7 +24,13 @@ Modes measured (each an honest serving product):
   params:f32      params readback but float32 input wire (fused host
                   normalize) — isolates the input-wire-format cost
 
-Writes docs/artifacts/serving_r4.json and prints one JSON line per mode.
+Writes docs/artifacts/serving_r5.json (override: SERVE_OUT) and prints one
+JSON line per mode. The header records a wall-clock timestamp and a
+device<->host link microbenchmark (MB/s both directions) so snapshots taken
+under different relay/link health are distinguishable in-repo, and a
+"partial" flag that stays true until every requested mode has completed
+(the file is rewritten after each mode so a killed run keeps its finished
+modes — but is then marked partial).
 """
 
 import json
@@ -80,6 +86,29 @@ def run_mode(model, images, batch_size, wire, select, warm_images, depth,
     }
 
 
+def link_microbench(mb: int = 32, reps: int = 3):
+    """Measured host->device and device->host bandwidth (MB/s, best of
+    reps) — a cheap link-health stamp for the artifact header."""
+    import jax.numpy as jnp
+
+    n = mb * 2**20 // 4
+    host = np.ones((n,), np.float32)
+    dev = jax.device_put(host)
+    dev.block_until_ready()
+    up, down = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_put(host).block_until_ready()
+        up.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        down.append(time.perf_counter() - t0)
+    return {
+        "h2d_MBps": round(mb / min(up), 1),
+        "d2h_MBps": round(mb / min(down), 1),
+    }
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     # non-TPU smoke: batch 8 = the virtual mesh's data-axis size
@@ -113,6 +142,9 @@ def main():
     warm = images[:batch]
 
     results = {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+        "link": link_microbench(),
+        "partial": True,
         "batch": batch,
         "n_images": len(images),
         "native_available": native.available(),
@@ -133,8 +165,8 @@ def main():
         modes = [m for m in modes if m[0] in wanted]
     depth = int(os.environ.get("SERVE_DEPTH", "4" if on_tpu else "2"))
     results["depth"] = depth
-    out_path = os.path.join(
-        os.path.dirname(__file__), "..", "docs", "artifacts", "serving_r4.json"
+    out_path = os.environ.get("SERVE_OUT") or os.path.join(
+        os.path.dirname(__file__), "..", "docs", "artifacts", "serving_r5.json"
     )
     for name, wire, select, out_wire in modes:
         r = run_mode(model, images, batch, wire, select, warm, depth,
@@ -143,9 +175,12 @@ def main():
         print(json.dumps({"mode": name, **r}), flush=True)
         # write after every mode: the cold-cache XLA compile through the
         # relay can exceed any sane timeout, and a killed run must not
-        # lose the modes that did complete
+        # lose the modes that did complete (header keeps partial=true)
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
+    results["partial"] = False
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
     print(f"# wrote {out_path}", file=sys.stderr)
 
 
