@@ -21,6 +21,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import collections
 import functools
 import os
 import pickle
@@ -83,6 +84,34 @@ def _try_download(url: str, dest: str, timeout: float = 10.0) -> bool:
         except OSError:
             pass
         return False
+
+
+class _LRUCache:
+    """Bounded LRU for per-image-size compiled programs.
+
+    The postprocess and device-resize jits are specialized per distinct
+    original (H, W); an unbounded ``functools.cache`` would let a long-lived
+    mixed-resolution service accumulate compiled programs forever (and pin
+    ``self``). 16 live sizes covers any realistic camera fleet; evicted
+    sizes simply recompile on next use.
+    """
+
+    def __init__(self, maxsize: int = 16):
+        self.maxsize = maxsize
+        self._d: "collections.OrderedDict" = collections.OrderedDict()
+
+    def get(self, key, make):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        val = make()
+        self._d[key] = val
+        while len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+        return val
+
+    def __len__(self) -> int:
+        return len(self._d)
 
 
 class ResizeTransform:
@@ -203,6 +232,9 @@ class PerspectiveFields:
             )
         self._pixel_mean = np.asarray(config.pixel_mean, np.float32)
         self._pixel_std = np.asarray(config.pixel_std, np.float32)
+        # per-image-size compiled-program caches, bounded (VERDICT r4 #4)
+        self._post_cache = _LRUCache()
+        self._resize_cache = _LRUCache()
 
     # ------------------------------------------------------------------ setup
 
@@ -304,9 +336,14 @@ class PerspectiveFields:
 
         return jax.jit(fwd)
 
-    @functools.cache
     def _postprocess_fn(self, out_h: int, out_w: int):
-        """jit per original size: raw preds -> original-resolution fields."""
+        """jit per original size (bounded LRU): raw preds -> original-res
+        fields."""
+        return self._post_cache.get(
+            (out_h, out_w), lambda: self._make_postprocess_fn(out_h, out_w)
+        )
+
+    def _make_postprocess_fn(self, out_h: int, out_w: int):
         cfg = self.cfg
         image_size = cfg.resize
 
@@ -403,17 +440,20 @@ class PerspectiveFields:
 
     @functools.cached_property
     def _device_resize_fn(self):
-        """jit per input size: uint8 NHWC batch -> float net-res batch."""
+        """jit per input size (bounded LRU): uint8 NHWC batch -> float
+        net-res batch."""
         h, w = self.cfg.resize
 
-        @functools.cache
         def make(in_h, in_w):
-            def fn(imgs):
-                return resize_bilinear(
-                    imgs.astype(jnp.float32), h, w, "pil_bilinear"
-                )
+            def build():
+                def fn(imgs):
+                    return resize_bilinear(
+                        imgs.astype(jnp.float32), h, w, "pil_bilinear"
+                    )
 
-            return jax.jit(fn)
+                return jax.jit(fn)
+
+            return self._resize_cache.get((in_h, in_w), build)
 
         return make
 
