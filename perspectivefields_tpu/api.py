@@ -216,7 +216,7 @@ class PerspectiveFields:
             # weight is consumed as `kernel.astype(bfloat16)` anyway, so
             # storing the tree pre-cast halves the param HBM footprint and
             # drops the f32 master copy's residual per-call convert traffic
-            # (same-moment A/B: 623.4 -> 624.6 img/s, tools/bench_pdtype.py,
+            # (same-moment A/B: 623.4 -> 624.6 img/s, param-dtype probe,
             # PERF_NOTES round 4). Matmul/conv/LN values are bit-identical;
             # the only divergence is weight-epsilon-level, where f32 PARAM
             # arithmetic now sees bf16-rounded inputs: the heads' f32

@@ -1,6 +1,6 @@
 """Fully-fused SR-attention block: QKV projections + softmax + out-proj.
 
-Motivation (tools/bench_attn_prec.py, B=128 bf16): the backbone's attention
+Motivation (attn-precision probe, PERF_NOTES.md round 2; B=128 bf16): the backbone's attention
 is latency-bound, not FLOP-bound — ~2.3 ms per stage-3 block against a
 ~0.03 ms matmul floor, because XLA executes it as a chain of small batched
 GEMMs (per-head M=400, N=100, K=64) with the (B, H, N, M) logits and every

@@ -222,7 +222,7 @@ def test_corrupt_cached_weights_quarantined(tmp_path, monkeypatch):
 def test_bfloat16_path_stores_serving_dtype_params(tiny_api):
     """The bfloat16 path pre-casts weights to the compute dtype (serving
     form — every kernel is consumed as .astype(bf16) anyway; measured
-    +1.2 img/s e2e, tools/bench_pdtype.py) and still predicts fields
+    +1.2 img/s e2e, PERF_NOTES round 4 param-dtype probe) and still predicts fields
     consistent with the f32 master-copy path."""
     import jax
     import jax.numpy as jnp

@@ -5,7 +5,7 @@ The interpret-mode tests run the actual Pallas kernel body (_kernel) on CPU
 — multi-head static slicing, KV sublane padding + -inf masking, bb/tn
 tiling, the in-kernel residual fold, and the oversize-VMEM fallback gate —
 against _xla_reference. The on-TPU numeric check (max rel err ~8e-3 at
-bf16, consistent with bf16 rounding) runs in tools/bench_fused_attn.py.
+bf16, consistent with bf16 rounding) ran in the (since-pruned) bench_fused_attn probe — PERF_NOTES.md.
 """
 
 import jax
