@@ -38,6 +38,8 @@ from ..ops.activations import gelu
 from ..config import BackboneConfig
 from ..kernels.fused_attention import fused_attention
 from ..kernels.fused_block import fused_block, fused_block_viable
+from ..kernels.stage1_attention import eligible as _stage1_eligible
+from ..kernels.stage1_attention import stage1_attention
 from .convnext import _ConvHolder, _DenseHolder
 from .holders import _LayerNormParams
 
@@ -148,6 +150,40 @@ def _attn_token_gate() -> int:
     return ATTN_TOKEN_GATE
 
 
+# Lane-packed single-head kernel for the stage-1 shape class (N above the
+# token gate, num_heads=1, C=64 — half the register lane width, which is
+# why both XLA and the generic kernel underuse the MXU there). See
+# kernels/stage1_attention.py. Module attribute (not an env var); e2e A/B
+# probes monkeypatch it. Default OFF: the packed kernel measures 2.8 ms vs
+# XLA's 2.0 ms at the stage-1 bench shape (tools/bench_stage1_attn.py,
+# PERF_NOTES round 5) — flip only if a variant beats XLA e2e.
+ATTN_STAGE1_KERNEL = False
+
+
+def _attn_stage1_on() -> bool:
+    """Indirection so probes/tests can patch ATTN_STAGE1_KERNEL at runtime."""
+    return ATTN_STAGE1_KERNEL
+
+
+# Folded single-head attention (pure XLA, no kernel): with num_heads == 1
+# both dense N-row projections fold algebraically into the tiny M-row KV
+# side —
+#     logits = (x@Wq + bq) @ k^T        = x @ (Wq@k^T)   + bq@k^T
+#     out    = (p@v) @ Wp + bp          = p @ (v@Wp)     + bp
+# eliminating the q- and out-projection GEMMs over N = H*W tokens (~40% of
+# the stage-1 N-row MACs) and their (B, N, C) HBM intermediates. Exact in
+# real arithmetic; in floats it reassociates the contraction (the folded
+# (C, M) / (M, C) matrices are formed in f32 then cast to the compute
+# dtype), which parity tests cover at the model tolerance. Module attribute
+# so e2e A/B probes can patch it.
+ATTN_STAGE1_FOLD = True
+
+
+def _attn_stage1_fold_on() -> bool:
+    """Indirection so probes/tests can patch ATTN_STAGE1_FOLD at runtime."""
+    return ATTN_STAGE1_FOLD
+
+
 class SRAttention(nn.Module):
     """Efficient attention with spatial reduction of K/V.
 
@@ -188,6 +224,90 @@ class SRAttention(nn.Module):
             kv_in = kv_in.reshape(b, -1, c)
         else:
             kv_in = x.reshape(b, h * w, c)
+
+        # Stage-1 shape class (N above the token gate, single head, C=64):
+        # the lane-packed kernel (kernels/stage1_attention.py) processes
+        # token pairs at full 128-lane register width with the logits and
+        # softmax VMEM-resident.
+        use_s1 = (
+            self.use_pallas
+            and self.qkv_bias
+            and self.num_heads == 1
+            and h * w > _attn_token_gate()
+            and _stage1_eligible(h * w, c, kv_in.shape[1], self.num_heads)
+            and _attn_stage1_on()
+            and _fused_backend_ok()
+        )
+        if use_s1:
+            qh = _DenseHolder(c, self.dim, name="q")
+            kvh = _DenseHolder(c, 2 * self.dim, name="kv")
+            ph = _DenseHolder(self.dim, self.dim, name="proj")
+            cdt = self.dtype
+            out = stage1_attention(
+                x.reshape(b, h * w, c).astype(cdt),
+                kv_in.astype(cdt),
+                qh.kernel.astype(cdt),
+                qh.bias,
+                kvh.kernel.astype(cdt),
+                kvh.bias,
+                ph.kernel.astype(cdt),
+                ph.bias,
+                scale,
+                residual=(
+                    None
+                    if residual is None
+                    else residual.reshape(b, h * w, self.dim).astype(cdt)
+                ),
+            )
+            return out.reshape(b, h, w, self.dim)
+
+        # Folded single-head path (see ATTN_STAGE1_FOLD above): both N-row
+        # 64x64 projections collapse into the M-row KV side, leaving one
+        # N x C @ C x M GEMM + softmax + one N x M @ M x C GEMM. Pure XLA —
+        # no backend gate; the CPU test suite exercises the same program.
+        use_folded = (
+            self.use_pallas
+            and self.qkv_bias
+            and self.num_heads == 1
+            and h * w > _attn_token_gate()
+            and not use_s1
+            and _attn_stage1_fold_on()
+        )
+        if use_folded:
+            qh = _DenseHolder(c, self.dim, name="q")
+            kvh = _DenseHolder(c, 2 * self.dim, name="kv")
+            ph = _DenseHolder(self.dim, self.dim, name="proj")
+            cdt = self.dtype
+            f32 = jnp.float32
+            # Tiny side (M ~ N/sr^2 rows), all f32: k/v projections, then
+            # the folded (C, M) logit matrix (scale absorbed) and (M, C)
+            # value-out matrix, cast once to the compute dtype.
+            kv = (
+                jnp.einsum(
+                    "bmc,cd->bmd", kv_in.astype(f32), kvh.kernel.astype(f32)
+                )
+                + kvh.bias.astype(f32)
+            )
+            k, v = kv[..., : self.dim], kv[..., self.dim :]
+            kq = jnp.einsum("cd,bmd->bcm", qh.kernel.astype(f32), k) * scale
+            lbias = jnp.einsum("d,bmd->bm", qh.bias.astype(f32), k) * scale
+            vp = jnp.einsum("bmd,dc->bmc", v, ph.kernel.astype(f32))
+            # N-row side: one GEMM in, softmax, one GEMM out.
+            logits = (
+                jnp.einsum(
+                    "bnc,bcm->bnm",
+                    x.reshape(b, h * w, c).astype(cdt),
+                    kq.astype(cdt),
+                    preferred_element_type=f32,
+                )
+                + lbias[:, None, :]
+            )
+            p = jax.nn.softmax(logits, axis=-1).astype(cdt)
+            out = jnp.einsum(
+                "bnm,bmc->bnc", p, vp.astype(cdt), preferred_element_type=f32
+            ) + ph.bias.astype(f32)
+            out = out.astype(cdt).reshape(b, h, w, self.dim)
+            return out if residual is None else residual + out
 
         # Fully-fused attention sub-block (projections + softmax in one
         # VMEM-resident Pallas kernel; kernels/fused_attention.py): wins

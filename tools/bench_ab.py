@@ -12,10 +12,17 @@ comparison.
 
 Model-internal experiments (e.g. the closed dwconv-taps A/B) are injected by
 monkeypatching the relevant module attribute before build, not via env vars
-— the production forwards read no environment (VERDICT r3 item 5).
+— the production forwards read no environment (VERDICT r3 item 5). A token
+whose key starts with ``@`` does exactly that:
+``@pkg.mod.ATTR=value`` setattr's ``value`` (int-parsed) on ``pkg.mod``
+before the variant's build and restores it after, so module-attribute gates
+(ATTN_STAGE1_FOLD, ATTN_TOKEN_GATE, ...) A/B the same way env gates do.
 
 Usage:
-    timeout 2600 python tools/bench_ab.py BENCH_UNROLL=1 BENCH_UNROLL=2 BENCH_UNROLL=4
+    timeout 2600 python tools/bench_ab.py BENCH_UNROLL=1 BENCH_UNROLL=2
+    timeout 2600 python tools/bench_ab.py \
+        @perspectivefields_tpu.models.mit.ATTN_STAGE1_FOLD=1 \
+        @perspectivefields_tpu.models.mit.ATTN_STAGE1_FOLD=0
 """
 
 import os
@@ -41,12 +48,21 @@ def main():
     prev = None
     for spec in specs:
         saved = {}
+        saved_attrs = []
         for tok in spec.split(","):
             key, val = tok.split("=", 1)
-            saved[key] = os.environ.get(key)
-            os.environ[key] = val
+            if key.startswith("@"):
+                import importlib
+
+                mod_path, attr = key[1:].rsplit(".", 1)
+                mod = importlib.import_module(mod_path)
+                saved_attrs.append((mod, attr, getattr(mod, attr)))
+                setattr(mod, attr, int(val))
+            else:
+                saved[key] = os.environ.get(key)
+                os.environ[key] = val
         fn, params, batches = bench.build(batch, on_tpu, reuse=prev)
-        # compile + warmup now, while the env is set (trace time)
+        # compile + warmup now, while the env/attrs are set (trace time)
         float(fn(params, batches))
         print(f"# {spec} compiled", file=sys.stderr)
         for key, val in saved.items():
@@ -54,6 +70,8 @@ def main():
                 os.environ.pop(key, None)
             else:
                 os.environ[key] = val
+        for mod, attr, val in saved_attrs:
+            setattr(mod, attr, val)
         variants.append((spec, fn))
         prev = (fn, params, batches)
 
