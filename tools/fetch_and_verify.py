@@ -8,8 +8,12 @@ this script closes the loop in one command:
     python tools/fetch_and_verify.py --versions Paramnet-360Cities-edina-centered
 
 Per version it (a) downloads the released ``.pth`` from the model-zoo URL
-(reference: perspectivefields.py:178-192) unless already cached, (b) converts
-it to ``.npz`` (tools/convert_checkpoint.py), (c) runs field parity between
+(reference: perspectivefields.py:178-192) unless already cached, (a') checks
+it against weights/MANIFEST.json — full tensor-shape inventory (derived
+offline from the reference graph, tools/make_weights_manifest.py) plus a
+sha256 that is pinned on first verified download and enforced after —
+(b) converts it to ``.npz`` (tools/convert_checkpoint.py), (c) runs field
+parity between
 the reference's own torch graph and ours with the REAL weights on the bundled
 asset image (north star: <=0.1 deg angular error, BASELINE.md), and (d) runs
 the demo golden tuple (reference demo/demo.py:157-161: roll 4.54 /
@@ -34,6 +38,69 @@ GOLDEN_VERSION = "Paramnet-360Cities-edina-centered"
 GOLDEN_IMAGE = "/root/reference/assets/imgs/cityscape.jpg"
 GOLDEN = {"pred_roll": 4.54, "pred_pitch": 48.88, "pred_general_vfov": 52.82,
           "pred_rel_cx": 0.0, "pred_rel_cy": 0.0}
+MANIFEST = os.path.join(
+    _REPO, "perspectivefields_tpu", "weights", "MANIFEST.json"
+)
+
+
+def _sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def validate_against_manifest(version: str, pth_path: str) -> None:
+    """Deterministic download validation (tools/make_weights_manifest.py):
+    the file's tensor inventory must match the reference graph's exactly
+    (names AND shapes; modulo torch's num_batches_tracked counters, which
+    some exports omit), and its sha256 must match the pinned digest — or,
+    on the first verified download, gets pinned (trust-on-first-use)."""
+    import json
+
+    import torch
+
+    with open(MANIFEST) as f:
+        manifest = json.load(f)
+    entry = manifest.get(version)
+    if entry is None:
+        raise SystemExit(f"{version}: not in {MANIFEST}")
+
+    sd = torch.load(pth_path, map_location="cpu", weights_only=False)
+    sd = sd.get("model", sd)
+    got = {k: list(v.shape) for k, v in sd.items()}
+    want = dict(entry["tensors"])
+    skippable = lambda k: k.endswith("num_batches_tracked")  # noqa: E731
+    missing = [k for k in want if k not in got and not skippable(k)]
+    unexpected = [k for k in got if k not in want]
+    wrong = [
+        (k, got[k], want[k]) for k in got if k in want and got[k] != want[k]
+    ]
+    if missing or unexpected or wrong:
+        raise SystemExit(
+            f"{version}: checkpoint does not match the manifest inventory — "
+            f"missing {missing[:5]}, unexpected {unexpected[:5]}, "
+            f"shape-mismatched {wrong[:5]}"
+        )
+
+    digest = _sha256(pth_path)
+    pinned = entry.get("pth_sha256")
+    if pinned is None:
+        entry["pth_sha256"] = digest
+        with open(MANIFEST, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        print(f"[PIN] {version}: sha256 {digest[:16]}… pinned to manifest "
+              "(commit MANIFEST.json to enforce it)")
+    elif pinned != digest:
+        raise SystemExit(
+            f"{version}: sha256 mismatch — manifest pins {pinned[:16]}…, "
+            f"file is {digest[:16]}… (corrupt or tampered download)"
+        )
+    else:
+        print(f"[OK] {version}: sha256 matches manifest")
 
 
 def fetch(version: str) -> str | None:
@@ -141,6 +208,7 @@ def main() -> int:
         ran += 1
         try:
             if path.endswith(".pth"):
+                validate_against_manifest(version, path)
                 convert(version)
             if os.path.exists(args.image) and os.path.exists(
                 os.path.join(os.path.dirname(path), version + ".pth")
