@@ -20,8 +20,6 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def main():
@@ -37,7 +35,7 @@ def main():
 
     from perspectivefields_tpu import PerspectiveFields
     from perspectivefields_tpu.data import data_iterator
-    from perspectivefields_tpu.evaluation import field_metrics
+    from perspectivefields_tpu.evaluation import evaluate_pairs
 
     if args.tiny:
         from perspectivefields_tpu.config import (
@@ -74,27 +72,11 @@ def main():
 
     h, w = model.cfg.resize
     it = data_iterator(jax.random.PRNGKey(args.seed), batch_size=args.batch, im_hw=(h, w))
-    mean = jnp.asarray(model.cfg.pixel_mean)
-
-    agg = []
-    n = 0
-    while n < args.samples:
-        batch = next(it)
-        raw = model._forward_prenormalized_fn(model.params, batch["image"] - mean)
-        pred_up = raw["pred_gravity"].astype(jnp.float32)
-        pred_lat = jnp.degrees(
-            jnp.arcsin(jnp.clip(raw["pred_latitude"][..., 0].astype(jnp.float32), -1, 1))
-        )
-        gt_lat = jnp.degrees(jnp.arcsin(batch["gt_latitude"][..., 0]))
-        m = field_metrics(pred_up, batch["gt_gravity"], pred_lat, gt_lat)
-        agg.append({k: float(v) for k, v in m.items()})
-        n += args.batch
-
-    keys = agg[0].keys()
+    res = evaluate_pairs(model, it, max_samples=args.samples)
+    n = res.pop("samples")
     print(f"eval over {n} synthetic crops ({h}x{w}):")
-    for k in keys:
-        vals = [a[k] for a in agg]
-        print(f"  {k:16s} {np.mean(vals):8.3f}")
+    for k, v in res.items():
+        print(f"  {k:16s} {v:8.3f}")
 
 
 if __name__ == "__main__":
