@@ -123,7 +123,7 @@ def build(batch: int, use_pallas: bool, reuse=None):
         return run_k, reuse[1], reuse[2]
 
     # K big enough to amortize the ~30 ms fixed dispatch overhead of one
-    # timed invocation (PERF_NOTES.md, tools/bench_calib.py). K=32 (5 GB of
+    # timed invocation (PERF_NOTES.md, round-3 calibration probe). K=32 (5 GB of
     # device-resident input) measured ~3% SLOWER than K=16 — consistent with
     # per-invocation input traffic through the relay scaling with K, so
     # don't raise it. BENCH_K overrides for calibration runs.
@@ -153,7 +153,7 @@ def make_params(model, resize=(320, 320)):
     matching api.py's bfloat16 path): XLA hoists most of the per-scan-
     iteration f32->bf16 weight converts, but the f32 master copy still
     measured -1.2 img/s vs pre-cast bf16 in a same-moment A/B
-    (tools/bench_pdtype.py: 623.4 / 624.2 kernels-only / 624.6 all,
+    (param-dtype probe, PERF_NOTES round 4: 623.4 / 624.2 kernels-only / 624.6 all,
     PERF_NOTES round 4). BENCH_PARAM_DTYPE=float32 restores the master-copy
     variant for archaeology."""
     shapes = jax.eval_shape(
@@ -236,11 +236,13 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     best = 0.0
     results = []
-    # One config by default: B=128 beats 96/160/192/256 (PERF_NOTES.md batch
-    # sweeps) and every extra config is another multi-minute cold compile
-    # through the relay. use_pallas=True = the fused attention-block kernel
-    # (the API default on TPU). Override with BENCH_CONFIGS="128:1,160:1"
-    # (batch:use_pallas pairs) for occasional multi-config regression runs.
+    # Two configs by default on TPU: B=128 with the Pallas kernels (the API
+    # default — B=128 beats 96/160/192/256, PERF_NOTES.md batch sweeps) AND
+    # the same batch with use_pallas=0, so every driver artifact carries the
+    # kernels-off regression guard (VERDICT r4 #5) instead of it living only
+    # in PERF_NOTES. The off-config compile is cached in .jax_cache after
+    # the first run. Override with BENCH_CONFIGS="128:1,160:1"
+    # (batch:use_pallas pairs) for other regression sweeps.
     env_cfg = os.environ.get("BENCH_CONFIGS")
     if env_cfg:
         configs = [
@@ -248,7 +250,7 @@ def main():
             for b, p in (tok.split(":") for tok in env_cfg.split(","))
         ]
     else:
-        configs = [(128, True)] if on_tpu else [(2, False)]
+        configs = [(128, True), (128, False)] if on_tpu else [(2, False)]
     for batch, use_pallas in configs:
         try:
             fn, params, batches = build(batch, use_pallas)
