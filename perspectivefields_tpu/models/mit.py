@@ -175,8 +175,14 @@ def _attn_stage1_on() -> bool:
 # real arithmetic; in floats it reassociates the contraction (the folded
 # (C, M) / (M, C) matrices are formed in f32 then cast to the compute
 # dtype), which parity tests cover at the model tolerance. Module attribute
-# so e2e A/B probes can patch it.
-ATTN_STAGE1_FOLD = True
+# so e2e A/B probes can patch it. Default OFF: measured e2e LOSS of -2.1%
+# (611.3 vs 624.4 img/s, 6 interleaved windows, tools/bench_ab.py
+# @...ATTN_STAGE1_FOLD=1 vs =0, PERF_NOTES round 5) — deleting the two
+# N-row 64x64 GEMMs costs more than it saves because the per-batch-item
+# folded operands turn the N-row logits/out GEMMs into batched GEMMs with
+# non-shared stationary matrices, which XLA schedules worse than the
+# shared-weight projection + shared-free attention pair it replaces.
+ATTN_STAGE1_FOLD = False
 
 
 def _attn_stage1_fold_on() -> bool:

@@ -107,11 +107,12 @@ def test_non_tpu_backend_takes_xla_path(monkeypatch):
 
 
 def test_sr_attention_folded_single_head(monkeypatch):
-    """The folded single-head path (ATTN_STAGE1_FOLD, default ON under
-    use_pallas) must match the plain einsum path: both N-row projections
-    are algebraically folded into the M-row KV side, so the only deviation
-    is float reassociation noise. Checks f32 + bf16, residual fold,
-    gradient flow, and that the param tree is unchanged."""
+    """The folded single-head path (ATTN_STAGE1_FOLD — default OFF after a
+    measured -2.1% e2e loss, PERF_NOTES round 5; kept as a tested opt-in)
+    must match the plain einsum path: both N-row projections are
+    algebraically folded into the M-row KV side, so the only deviation is
+    float reassociation noise. Checks f32 + bf16, residual fold, gradient
+    flow, and that the param tree is unchanged."""
     from perspectivefields_tpu.models import mit as mit_mod
 
     rng = np.random.default_rng(11)
@@ -124,7 +125,8 @@ def test_sr_attention_folded_single_head(monkeypatch):
         jax.jit(folded.init)(jax.random.PRNGKey(0), x)
     )
 
-    assert mit_mod.ATTN_STAGE1_FOLD  # default-on
+    assert not mit_mod.ATTN_STAGE1_FOLD  # default-off (measured e2e loss)
+    monkeypatch.setattr(mit_mod, "ATTN_STAGE1_FOLD", True)
     y_plain = jax.jit(lambda p, a, r: plain.apply(p, a, residual=r))(p, x, res)
     y_fold = jax.jit(lambda p, a, r: folded.apply(p, a, residual=r))(p, x, res)
     np.testing.assert_allclose(
