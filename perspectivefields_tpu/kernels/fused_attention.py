@@ -33,6 +33,15 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Scoped-VMEM working-set budget (MB) for the batch-tile (bb) picker below.
+# 13 MB fits Mosaic's default 16 MB scoped window; values above it lift the
+# window via vmem_limit_bytes so larger batch tiles take FEWER grid steps
+# (the s1lab finding: the sub-block is grid-step bound, and bb=8 vs bb=4
+# recovered 0.5 ms at the stage-1 shape). Module attribute so e2e A/B
+# probes can patch it (tools/bench_ab.py @...VMEM_BUDGET_MB=56).
+VMEM_BUDGET_MB = 13
 
 
 def _xla_reference(x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale):
@@ -202,7 +211,7 @@ def fused_attention(
         c * ((4 + (1 if residual is not None else 0)) * isz + 8)
         + mpad * (4 + isz)
     )
-    budget = 13 * 2**20
+    budget = VMEM_BUDGET_MB * 2**20
     if per_bb > budget:
         # even a single batch item overflows scoped VMEM (large non-default
         # resolutions) — use the identical-math XLA path instead
@@ -243,6 +252,15 @@ def fused_attention(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, tn, c), lambda i, j: (i, j, 0)),
+        # At the default budget this resolves to Mosaic's own 16 MB scoped
+        # window (no behavior change); raised budgets lift the window to
+        # budget + pipelining headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(
+                16 if VMEM_BUDGET_MB <= 13 else min(100, 2 * VMEM_BUDGET_MB)
+            )
+            * 2**20
+        ),
         interpret=interpret,
     )(*args)
     return out
