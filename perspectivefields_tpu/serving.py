@@ -23,14 +23,20 @@ PCIe and host FLOPs, not the wire, bound the pipeline).
 
 Output wire: dense-field services are readback-bound when the device sits
 behind a narrow link (at 320x320 the up+lat fields are ~1.2 MB/image in
-float32 — measured 19 img/s through a ~26 MB/s relay,
-docs/artifacts/serving_r4.json). ``out_wire`` compresses the device->host
-leg: "f16" halves it (casts float outputs on device, exact to ~5e-4);
-"u8" quarters the [-1,1]-bounded field channels (pred_gravity unit vectors
-and the clamped sin-latitude, fixed-point x -> round((x+1)*127.5), max
-dequant error 1/255 ~= 0.23 deg of up-vector angle) and falls back to f16
-for unbounded outputs such as camera parameters. Decode back to float32
-happens transparently on the host in ``_drain``.
+float32 — measured 17-19 img/s through a ~27-38 MB/s relay downlink,
+docs/artifacts/serving_r4.json / serving_r5.json). ``out_wire``
+compresses the device->host leg: "u8" quarters the [-1,1]-bounded field
+channels (pred_gravity unit vectors and the clamped sin-latitude,
+fixed-point x -> round((x+1)*127.5), max dequant error 1/255 ~= 0.23 deg
+of up-vector angle; measured 2.6x: 43.6 vs 17.0 img/s, serving_r5.json)
+and falls back to f16 for unbounded outputs such as camera parameters.
+"f16" halves the bytes (casts float outputs on device, exact to ~5e-4)
+but through THIS relay measures ~5% SLOWER than raw f32 readback on two
+independent runs (16.0 vs 17.0 img/s r5; 11.2 vs 13.2 on the degraded r4
+link) — the relay's d2h path handles f16 arrays worse per byte than f32
+or u8, so prefer "u8" for dense fields behind a relay and reserve "f16"
+for PCIe-local devices. Decode back to float32 happens transparently on
+the host in ``_drain``.
 """
 
 from __future__ import annotations

@@ -93,16 +93,20 @@ def link_microbench(mb: int = 32, reps: int = 3):
 
     n = mb * 2**20 // 4
     host = np.ones((n,), np.float32)
-    dev = jax.device_put(host)
-    dev.block_until_ready()
+    jax.device_put(host).block_until_ready()  # warmup
     up, down = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.device_put(host).block_until_ready()
+        dev = jax.device_put(host)
+        dev.block_until_ready()
         up.append(time.perf_counter() - t0)
+        # read back the array just put THIS rep: jax caches an array's
+        # host copy after its first transfer, so re-reading one array
+        # measures the cache (hundreds of GB/s), not the link
         t0 = time.perf_counter()
         np.asarray(dev)
         down.append(time.perf_counter() - t0)
+        del dev
     return {
         "h2d_MBps": round(mb / min(up), 1),
         "d2h_MBps": round(mb / min(down), 1),
