@@ -96,7 +96,9 @@ def test_validation_pass_pin_and_tamper(tmp_path, manifest, monkeypatch):
     assert pinned, "sha256 was not pinned on first verified download"
     tool.validate_against_manifest(VERSION, good)  # now enforced, still ok
 
-    # bit-flip: same inventory, different bytes -> sha mismatch
+    # bit-flip: same inventory, different bytes -> sha mismatch, and the
+    # pin check fires BEFORE the file is ever parsed (torch.load on a
+    # tampered pickle is the attack the gate exists to stop)
     bad = str(tmp_path / "bad.pth")
 
     def flip(sd):
@@ -104,10 +106,28 @@ def test_validation_pass_pin_and_tamper(tmp_path, manifest, monkeypatch):
         sd[k] = sd[k] + 1.0
 
     _fake_pth(manifest, bad, mutate=flip)
-    with pytest.raises(SystemExit, match="sha256 mismatch"):
-        tool.validate_against_manifest(VERSION, bad)
+    import torch as _torch
+
+    def _no_load(*a, **k):
+        raise AssertionError("torch.load reached before sha check")
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(_torch, "load", _no_load)
+        with pytest.raises(SystemExit, match="sha256 mismatch"):
+            tool.validate_against_manifest(VERSION, bad)
+
+    # inventory tampering is the first-download guard: test it on an
+    # UNPINNED manifest (once a sha is pinned, any byte change already
+    # fails the hash before the inventory is read)
+    def unpin():
+        with open(mcopy) as f:
+            m = json.load(f)
+        m[VERSION].pop("pth_sha256", None)
+        with open(mcopy, "w") as f:
+            json.dump(m, f)
 
     # wrong shape
+    unpin()
     shp = str(tmp_path / "shape.pth")
 
     def reshape(sd):
@@ -120,6 +140,7 @@ def test_validation_pass_pin_and_tamper(tmp_path, manifest, monkeypatch):
         tool.validate_against_manifest(VERSION, shp)
 
     # missing tensor
+    unpin()
     mis = str(tmp_path / "missing.pth")
     _fake_pth(manifest, mis, mutate=lambda sd: sd.pop("backbone.block1.0.attn.q.bias"))
     with pytest.raises(SystemExit, match="does not match"):

@@ -69,7 +69,20 @@ def validate_against_manifest(version: str, pth_path: str) -> None:
     if entry is None:
         raise SystemExit(f"{version}: not in {MANIFEST}")
 
-    sd = torch.load(pth_path, map_location="cpu", weights_only=False)
+    # Order matters: hash the bytes and check the pin BEFORE parsing the
+    # file — torch.load on a tampered download is exactly the attack this
+    # validation exists to stop. weights_only=True keeps the parse itself
+    # restricted to tensors/containers (no arbitrary pickle execution),
+    # which is all the shape inventory needs.
+    digest = _sha256(pth_path)
+    pinned = entry.get("pth_sha256")
+    if pinned is not None and pinned != digest:
+        raise SystemExit(
+            f"{version}: sha256 mismatch — manifest pins {pinned[:16]}…, "
+            f"file is {digest[:16]}… (corrupt or tampered download)"
+        )
+
+    sd = torch.load(pth_path, map_location="cpu", weights_only=True)
     sd = sd.get("model", sd)
     got = {k: list(v.shape) for k, v in sd.items()}
     want = dict(entry["tensors"])
@@ -86,19 +99,12 @@ def validate_against_manifest(version: str, pth_path: str) -> None:
             f"shape-mismatched {wrong[:5]}"
         )
 
-    digest = _sha256(pth_path)
-    pinned = entry.get("pth_sha256")
     if pinned is None:
         entry["pth_sha256"] = digest
         with open(MANIFEST, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         print(f"[PIN] {version}: sha256 {digest[:16]}… pinned to manifest "
               "(commit MANIFEST.json to enforce it)")
-    elif pinned != digest:
-        raise SystemExit(
-            f"{version}: sha256 mismatch — manifest pins {pinned[:16]}…, "
-            f"file is {digest[:16]}… (corrupt or tampered download)"
-        )
     else:
         print(f"[OK] {version}: sha256 matches manifest")
 
