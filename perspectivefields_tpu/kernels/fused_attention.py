@@ -158,9 +158,6 @@ def _kernel(
     o_ref[...] = o
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "force_xla", "interpret")
-)
 def fused_attention(
     x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads: int, scale: float,
     force_xla: bool = False, residual=None, interpret: bool = False,
@@ -178,7 +175,31 @@ def fused_attention(
             non-TPU backends take the XLA reference path.
     Returns:
         (B, N, C) — ``residual + attn`` when residual is given, else attn.
+
+    This eager wrapper resolves ``VMEM_BUDGET_MB`` at call (i.e. outer
+    trace) time and passes it to the jitted body as a STATIC argument: a
+    nested-jit body that read the module attribute directly would cache
+    its jaxpr keyed on avals/statics only, so A/B probes patching the
+    attribute between builds would silently re-measure the first
+    variant's program.
     """
+    return _fused_attention(
+        x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale,
+        force_xla, residual, interpret, vmem_budget_mb=VMEM_BUDGET_MB,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "scale", "force_xla", "interpret", "vmem_budget_mb"
+    ),
+)
+def _fused_attention(
+    x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads: int, scale: float,
+    force_xla: bool = False, residual=None, interpret: bool = False,
+    *, vmem_budget_mb: int = 13,
+):
     if force_xla or (not interpret and jax.default_backend() != "tpu"):
         out = _xla_reference(
             x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale
@@ -211,7 +232,7 @@ def fused_attention(
         c * ((4 + (1 if residual is not None else 0)) * isz + 8)
         + mpad * (4 + isz)
     )
-    budget = VMEM_BUDGET_MB * 2**20
+    budget = vmem_budget_mb * 2**20
     if per_bb > budget:
         # even a single batch item overflows scoped VMEM (large non-default
         # resolutions) — use the identical-math XLA path instead
@@ -257,7 +278,7 @@ def fused_attention(
         # budget + pipelining headroom.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(
-                16 if VMEM_BUDGET_MB <= 13 else min(100, 2 * VMEM_BUDGET_MB)
+                16 if vmem_budget_mb <= 13 else min(100, 2 * vmem_budget_mb)
             )
             * 2**20
         ),

@@ -108,6 +108,43 @@ def test_oversize_tile_falls_back_to_xla(monkeypatch):
     assert calls, "small shape should use the Pallas kernel"
 
 
+def test_vmem_budget_attr_crosses_jit_boundary(monkeypatch):
+    """Patching VMEM_BUDGET_MB must change the traced program for the SAME
+    input shapes: the eager wrapper resolves the attribute into a static
+    argument of the jitted body. (Regression: a nested-jit body reading
+    the module attribute directly caches its jaxpr on avals only, so A/B
+    probes patching the attribute silently re-measure the first variant.)"""
+    import importlib
+
+    fa = importlib.import_module("perspectivefields_tpu.kernels.fused_attention")
+
+    calls = []
+    real = fa.pl.pallas_call
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", spy)
+    rng = np.random.default_rng(7)
+    kw = _attn_inputs(rng, 2, 64, 4, 64)
+    args = dict(num_heads=1, scale=64**-0.5, interpret=True, **kw)
+
+    # default budget: kernel path
+    y_kernel = fused_attention(**args)
+    assert calls, "default budget should reach pallas_call"
+
+    # budget 0: same avals, but the patched attribute must reach the body
+    # and force the XLA fallback (no new pallas_call)
+    calls.clear()
+    monkeypatch.setattr(fa, "VMEM_BUDGET_MB", 0)
+    y_xla = fused_attention(**args)
+    assert not calls, "budget=0 must fall back to XLA for identical shapes"
+    np.testing.assert_allclose(
+        np.asarray(y_kernel), np.asarray(y_xla), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_use_pallas_param_tree_and_fallback_identity(monkeypatch):
     # Force the fused branch on the CPU mesh (fused_attention itself then
     # falls back to its identical-math XLA path) so the _DenseHolder param
