@@ -53,13 +53,50 @@ def field_metrics(
     }
 
 
+# Global-median accumulator resolution: errors live in [0, 180] degrees;
+# 0.1-degree bins make the streamed median exact to the bin width with O(1)
+# memory (a true median would need every per-pixel error in host memory).
+_MEDIAN_BINS = 1800
+
+
+def _err_hist(err: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """(anything)-shaped degree errors -> (_MEDIAN_BINS,) weighted counts."""
+    idx = jnp.minimum(
+        (jnp.clip(err, 0.0, 180.0) * (_MEDIAN_BINS / 180.0)).astype(jnp.int32),
+        _MEDIAN_BINS - 1,
+    )
+    return jnp.zeros(_MEDIAN_BINS, jnp.float32).at[idx.ravel()].add(
+        weights.ravel().astype(jnp.float32)
+    )
+
+
+def _hist_median(hist) -> float:
+    """Median (bin center, 0.1-degree exact) from an error histogram."""
+    import numpy as np
+
+    hist = np.asarray(hist)
+    total = hist.sum()
+    if total <= 0:
+        return 0.0
+    cum = np.cumsum(hist)
+    i = int(np.searchsorted(cum, total / 2.0))
+    # lower bin edge: exact for point masses at bin boundaries (e.g. a
+    # perfect predictor's all-zero errors), <= bin-width off otherwise
+    return i * 180.0 / _MEDIAN_BINS
+
+
 def evaluate_pairs(model, batches, max_samples: int | None = None) -> Dict[str, float]:
     """Run the paper's metrics over an iterable of (image, GT-field) batches.
 
-    The module-API eval driver (VERDICT r4 weak #5): aggregates
-    ``field_metrics`` — and camera-parameter absolute errors when the batch
-    carries ``cams`` — over everything the iterable yields, weighted by
-    batch size. ``tools/evaluate.py`` is a thin CLI over this.
+    The module-API eval driver (VERDICT r4 weak #5): aggregates the
+    per-pixel field metrics — and camera-parameter absolute errors when the
+    batch carries ``cams`` — over everything the iterable yields.
+    ``tools/evaluate.py`` is a thin CLI over this. Means are exact
+    (mask-weighted sums over all pixels); medians are global dataset
+    medians streamed through a 0.1-degree histogram (NOT per-batch medians
+    averaged, which is a different statistic). Classification-head models
+    (bin-encoded gravity/latitude) are decoded with the same argmax
+    decoders the postprocess path uses, so any zoo version/config works.
 
     Args:
         model: a ``PerspectiveFields`` instance (any version/config).
@@ -72,25 +109,52 @@ def evaluate_pairs(model, batches, max_samples: int | None = None) -> Dict[str, 
             the iterable — beware infinite generators).
 
     Returns:
-        dict of mean metrics (degrees) plus ``samples`` (image count).
+        dict of metrics (degrees) plus ``samples`` (image count).
     """
-    mean = jnp.asarray(model.cfg.pixel_mean)
-    predict_params = tuple(getattr(model.cfg.param, "predict_params", ()) or ())
-    totals: Dict[str, float] = {}
+    from .ops.codec import decode_bin, decode_bin_latitude
+
+    cfg = model.cfg
+    mean = jnp.asarray(cfg.pixel_mean)
+    std = jnp.asarray(cfg.pixel_std)
+    predict_params = tuple(getattr(cfg.param, "predict_params", ()) or ())
+    up_sum = up_cnt = lat_sum = lat_cnt = 0.0
+    up_hist = jnp.zeros(_MEDIAN_BINS, jnp.float32)
+    lat_hist = jnp.zeros(_MEDIAN_BINS, jnp.float32)
+    param_totals: Dict[str, float] = {}
     n = 0
     for batch in batches:
         b = int(batch["image"].shape[0])
-        raw = model._forward_prenormalized_fn(model.params, batch["image"] - mean)
-        pred_up = raw["pred_gravity"].astype(jnp.float32)
-        pred_lat = jnp.degrees(
-            jnp.arcsin(
-                jnp.clip(raw["pred_latitude"][..., 0].astype(jnp.float32), -1, 1)
+        raw = model._forward_prenormalized_fn(
+            model.params, (batch["image"] - mean) / std
+        )
+        pg = raw["pred_gravity"].astype(jnp.float32)
+        if cfg.gravity.loss_type == "classification":
+            pred_up = decode_bin(
+                jnp.argmax(pg, axis=-1), cfg.gravity.num_classes
             )
-        )
+        else:
+            pred_up = pg
+        pl = raw["pred_latitude"].astype(jnp.float32)
+        if cfg.latitude.loss_type == "classification":
+            pred_lat = decode_bin_latitude(
+                jnp.argmax(pl, axis=-1), cfg.latitude.num_classes
+            )
+        else:
+            pred_lat = jnp.degrees(jnp.arcsin(jnp.clip(pl[..., 0], -1, 1)))
         gt_lat = jnp.degrees(jnp.arcsin(batch["gt_latitude"][..., 0]))
-        metrics = dict(
-            field_metrics(pred_up, batch["gt_gravity"], pred_lat, gt_lat)
-        )
+
+        ang = up_angular_error(pred_up, batch["gt_gravity"])
+        mask = (
+            jnp.linalg.norm(batch["gt_gravity"], axis=-1) > 1e-8
+        ).astype(jnp.float32)
+        up_sum += float(jnp.sum(ang * mask))
+        up_cnt += float(jnp.sum(mask))
+        lat = latitude_error(pred_lat, gt_lat)
+        lat_sum += float(jnp.sum(lat))
+        lat_cnt += float(lat.size)
+        up_hist = up_hist + _err_hist(ang, mask)
+        lat_hist = lat_hist + _err_hist(lat, jnp.ones_like(lat))
+
         if "cams" in batch:
             cams = batch["cams"]
             gt_map = {
@@ -106,17 +170,25 @@ def evaluate_pairs(model, batches, max_samples: int | None = None) -> Dict[str, 
             for key in predict_params:
                 pk = f"pred_{key}"
                 if pk in raw and key in gt_map:
-                    metrics[f"{key}_abs_err"] = jnp.mean(
-                        jnp.abs(raw[pk].astype(jnp.float32) - gt_map[key])
+                    err = float(
+                        jnp.sum(
+                            jnp.abs(raw[pk].astype(jnp.float32) - gt_map[key])
+                        )
                     )
-        for k, v in metrics.items():
-            totals[k] = totals.get(k, 0.0) + float(v) * b
+                    k = f"{key}_abs_err"
+                    param_totals[k] = param_totals.get(k, 0.0) + err
         n += b
         if max_samples is not None and n >= max_samples:
             break
     if n == 0:
         raise ValueError("evaluate_pairs: empty iterable")
-    out = {k: v / n for k, v in totals.items()}
+    out = {
+        "up_mean_deg": up_sum / max(up_cnt, 1.0),
+        "up_median_deg": _hist_median(up_hist),
+        "lat_mean_deg": lat_sum / max(lat_cnt, 1.0),
+        "lat_median_deg": _hist_median(lat_hist),
+    }
+    out.update({k: v / n for k, v in param_totals.items()})
     out["samples"] = n
     return out
 
