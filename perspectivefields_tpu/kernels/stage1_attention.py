@@ -189,12 +189,16 @@ def stage1_attention(
     # physical VMEM is 128 MB; vmem_limit_bytes below lifts Mosaic's 16 MB
     # default scoped ceiling, same approach as decoder_tail.py).
     budget = 56 * 2**20
+    # tr must stay sublane-tile aligned (16 rows covers bf16's 16 and
+    # f32's 8): the kernel collapses (bb, tr, 128) -> (bb*tr, 128), and
+    # Mosaic rejects that reshape for non-tile-aligned row counts (e.g. a
+    # 90x90 grid -> half=4050 passes eligible() but 4050 % 16 != 0).
     tr = half
-    if per_bb_bytes(tr) > budget:
+    if half % 16 or per_bb_bytes(tr) > budget:
         # fall back to row tiling for very large grids (non-zoo resolutions)
         tr = next(
             (t for t in range(half, 0, -1)
-             if half % t == 0 and per_bb_bytes(t) <= budget),
+             if half % t == 0 and t % 16 == 0 and per_bb_bytes(t) <= budget),
             0,
         )
     if tr == 0:

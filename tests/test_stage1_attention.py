@@ -201,3 +201,29 @@ def test_sr_attention_routes_stage1_shapes(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(yr2), np.asarray(yr1), atol=2e-5, rtol=1e-5
     )
+
+
+def test_unaligned_row_tile_falls_back_to_xla(monkeypatch):
+    """A shape that passes eligible() but whose packed row count has no
+    sublane-aligned tiling (90x90 grid -> half=4050 = 2*3^4*5^2, no factor
+    of 16) must take the XLA path instead of emitting a reshape Mosaic
+    would reject."""
+    s1 = importlib.import_module(
+        "perspectivefields_tpu.kernels.stage1_attention"
+    )
+    calls = []
+    real = s1.pl.pallas_call
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(s1.pl, "pallas_call", spy)
+    rng = np.random.default_rng(9)
+    kw = _inputs(rng, 1, 8100, 121)  # eligible: even N, M<=128, C=64
+    got = stage1_attention(scale=64**-0.5, interpret=True, **kw)
+    want = _xla_reference(num_heads=1, scale=64**-0.5, **kw)
+    assert not calls, "unaligned half-rows must not reach pallas_call"
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
