@@ -251,9 +251,16 @@ def main():
         ]
     else:
         configs = [(128, True), (128, False)] if on_tpu else [(2, False)]
+    prev = prev_batch = None
     for batch, use_pallas in configs:
         try:
-            fn, params, batches = build(batch, use_pallas)
+            # same-batch configs share one device-resident input + param
+            # copy (build's reuse path): a second K x B x 640 x 640 x 3
+            # upload through the relay costs minutes and transiently
+            # doubles the ~2.5 GB input HBM footprint for no reason
+            reuse = prev if prev_batch == batch else None
+            fn, params, batches = build(batch, use_pallas, reuse=reuse)
+            prev, prev_batch = (fn, params, batches), batch
             # 16 windows on TPU: relay/clock noise is one-sided (it only
             # slows a window), so best-of-N converges from below to the true
             # steady-state rate. Evidence the tail draws matter: on

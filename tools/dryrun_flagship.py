@@ -44,19 +44,14 @@ def main():
         child(n)
         return
     # fresh interpreter with the CPU-mesh env prepared before backend init
-    # (the axon sitecustomize pins a 1-chip TPU backend otherwise)
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = [
-        t
-        for t in env.get("XLA_FLAGS", "").split()
-        if not t.startswith("--xla_force_host_platform_device_count=")
-    ]
-    flags.append(f"--xla_force_host_platform_device_count={n}")
-    env["XLA_FLAGS"] = " ".join(flags)
+    # (the axon sitecustomize pins a 1-chip TPU backend otherwise) — the
+    # recipe, including the marker that stops __graft_entry__ from
+    # re-execing a second time, lives in one place: cpu_mesh_child_env
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    env = g.cpu_mesh_child_env(n)
     env[_CHILD] = "1"
-    env["_PF_DRYRUN_CHILD"] = "1"  # __graft_entry__ must not re-exec again
     rc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), str(n)], env=env, cwd=REPO
     ).returncode

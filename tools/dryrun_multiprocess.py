@@ -159,17 +159,12 @@ def run(role: str, coordinator: str, process_id: int):
 
 
 def _spawn(role, coordinator, pid):
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
+    # CPU-mesh child env recipe shared with __graft_entry__ (axon pinning
+    # disabled, platform forced, device count injected)
+    import __graft_entry__ as g
+
     n_local = LOCAL_DEV if role == "mp" else GLOBAL_DEV
-    flags = [
-        t
-        for t in env.get("XLA_FLAGS", "").split()
-        if not t.startswith("--xla_force_host_platform_device_count=")
-    ]
-    flags.append(f"--xla_force_host_platform_device_count={n_local}")
-    env["XLA_FLAGS"] = " ".join(flags)
+    env = g.cpu_mesh_child_env(n_local)
     env[_ROLE] = f"{role}:{coordinator}:{pid}"
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)],
