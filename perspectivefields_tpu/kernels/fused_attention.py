@@ -43,6 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 # probes can patch it (tools/bench_ab.py @...VMEM_BUDGET_MB=56).
 VMEM_BUDGET_MB = 13
 
+# Whether to pass an explicit vmem_limit_bytes at the default budget (the
+# historical behavior passed NO compiler params there). Module attribute
+# for A/B attribution: the first two post-change bench runs read 627.2+
+# vs 624.5 pre-change the same day — same-moment A/B required to tell the
+# explicit-16MB effect from hour drift.
+VMEM_EXPLICIT_LIMIT = True
+
 
 def _xla_reference(x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale):
     """Unfused path (used on non-TPU backends and in parity tests)."""
@@ -186,19 +193,21 @@ def fused_attention(
     return _fused_attention(
         x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale,
         force_xla, residual, interpret, vmem_budget_mb=VMEM_BUDGET_MB,
+        explicit_limit=VMEM_EXPLICIT_LIMIT,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_heads", "scale", "force_xla", "interpret", "vmem_budget_mb"
+        "num_heads", "scale", "force_xla", "interpret", "vmem_budget_mb",
+        "explicit_limit",
     ),
 )
 def _fused_attention(
     x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads: int, scale: float,
     force_xla: bool = False, residual=None, interpret: bool = False,
-    *, vmem_budget_mb: int = 13,
+    *, vmem_budget_mb: int = 13, explicit_limit: bool = True,
 ):
     if force_xla or (not interpret and jax.default_backend() != "tpu"):
         out = _xla_reference(
@@ -273,14 +282,18 @@ def _fused_attention(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, tn, c), lambda i, j: (i, j, 0)),
-        # At the default budget this resolves to Mosaic's own 16 MB scoped
-        # window (no behavior change); raised budgets lift the window to
-        # budget + pipelining headroom.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(
-                16 if vmem_budget_mb <= 13 else min(100, 2 * vmem_budget_mb)
+        # explicit_limit=False restores the historical no-compiler-params
+        # call (Mosaic's own default window); True pins 16 MB at the
+        # default budget, larger windows for raised budgets.
+        compiler_params=(
+            pltpu.CompilerParams(
+                vmem_limit_bytes=(
+                    16 if vmem_budget_mb <= 13 else min(100, 2 * vmem_budget_mb)
+                )
+                * 2**20
             )
-            * 2**20
+            if explicit_limit
+            else None
         ),
         interpret=interpret,
     )(*args)
