@@ -44,11 +44,15 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_BUDGET_MB = 13
 
 # Whether to pass an explicit vmem_limit_bytes at the default budget (the
-# historical behavior passed NO compiler params there). Module attribute
-# for A/B attribution: the first two post-change bench runs read 627.2+
-# vs 624.5 pre-change the same day — same-moment A/B required to tell the
-# explicit-16MB effect from hour drift.
+# historical behavior passed NO compiler params there). Attributed as a
+# REAL +0.46% e2e win (627.2 vs 624.3, same-moment A/B, PERF_NOTES round
+# 5): Mosaic's implicit default window picks a slightly worse schedule
+# for this kernel's grid.
 VMEM_EXPLICIT_LIMIT = True
+
+# The pinned window size (MB) at the default budget. 16 won the sweep
+# (PERF_NOTES round 5); raised budgets ignore this and use 2x budget.
+VMEM_LIMIT_MB = 16
 
 
 def _xla_reference(x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale):
@@ -190,10 +194,15 @@ def fused_attention(
     attribute between builds would silently re-measure the first
     variant's program.
     """
+    limit_mb = (
+        VMEM_LIMIT_MB
+        if VMEM_BUDGET_MB <= 13
+        else min(100, 2 * VMEM_BUDGET_MB)
+    )
     return _fused_attention(
         x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads, scale,
         force_xla, residual, interpret, vmem_budget_mb=VMEM_BUDGET_MB,
-        explicit_limit=VMEM_EXPLICIT_LIMIT,
+        explicit_limit=VMEM_EXPLICIT_LIMIT, limit_mb=limit_mb,
     )
 
 
@@ -201,13 +210,14 @@ def fused_attention(
     jax.jit,
     static_argnames=(
         "num_heads", "scale", "force_xla", "interpret", "vmem_budget_mb",
-        "explicit_limit",
+        "explicit_limit", "limit_mb",
     ),
 )
 def _fused_attention(
     x, kv_in, wq, bq, wkv, bkv, wproj, bproj, num_heads: int, scale: float,
     force_xla: bool = False, residual=None, interpret: bool = False,
     *, vmem_budget_mb: int = 13, explicit_limit: bool = True,
+    limit_mb: int = 16,
 ):
     if force_xla or (not interpret and jax.default_backend() != "tpu"):
         out = _xla_reference(
@@ -283,15 +293,10 @@ def _fused_attention(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, tn, c), lambda i, j: (i, j, 0)),
         # explicit_limit=False restores the historical no-compiler-params
-        # call (Mosaic's own default window); True pins 16 MB at the
-        # default budget, larger windows for raised budgets.
+        # call (Mosaic's own default window); True pins limit_mb (a
+        # measured +0.46% at 16 MB, PERF_NOTES round 5).
         compiler_params=(
-            pltpu.CompilerParams(
-                vmem_limit_bytes=(
-                    16 if vmem_budget_mb <= 13 else min(100, 2 * vmem_budget_mb)
-                )
-                * 2**20
-            )
+            pltpu.CompilerParams(vmem_limit_bytes=limit_mb * 2**20)
             if explicit_limit
             else None
         ),
